@@ -1,0 +1,119 @@
+"""Deterministic image codec + validation math (numpy only).
+
+STUB NOTICE (deliberate, per build brief): no real image libraries (PIL /
+libjpeg) ship in this container, so "png"/"jpeg" here are a deterministic
+fake codec with the *same contract* a real one would have:
+
+- ``png``  : lossless — zlib over raw pixels; decode is bit-exact.
+- ``jpeg`` : lossy — 2-bit quantization before zlib, giving a true
+  reconstruction error with PSNR ≈ 46 dB (> the 40 dB gate), so the
+  PSNR-validation path is exercised with real signal, not a constant.
+
+Swapping in real codecs = replacing ``encode``/``decode`` bodies; every
+Spark-side piece (binary columns, Arrow batch shapes, UDF signatures,
+partitioning) is real and unchanged.
+
+Validation contract (BASELINE.json input_hint): decoded-pixel allclose
+(PSNR ≥ 40 dB for lossy), byte-exact caption equality, phash consistency.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"SGIM"
+FMT_CODES = {"png": 0, "jpeg": 1}
+FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
+PSNR_GATE_DB = 40.0
+
+_WORDS = (
+    "archive query log serp capture crawl frontier host image caption "
+    "wayback memento provider search result snippet rank page offset wave"
+).split()
+
+
+def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Deterministic pseudo-random grayscale pixels keyed by image_id."""
+    seed = int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def synth_caption(image_id: str) -> str:
+    """Deterministic caption keyed by image_id (byte-exact check target)."""
+    seed = int.from_bytes(hashlib.md5((image_id + ":cap").encode()).digest()[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = int(rng.integers(3, 9))
+    return " ".join(_WORDS[int(i)] for i in rng.integers(0, len(_WORDS), n))
+
+
+def _quantize(pixels: np.ndarray) -> np.ndarray:
+    """The 'lossy' step: clear the 2 LSBs, re-center (+2) — MSE 1.5,
+    PSNR = 10·log10(255²/1.5) ≈ 46.4 dB."""
+    return ((pixels & 0xFC) | 0x02).astype(np.uint8)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    h, w = pixels.shape
+    payload = _quantize(pixels) if fmt == "jpeg" else pixels
+    return (
+        MAGIC
+        + struct.pack("<BHH", FMT_CODES[fmt], w, h)
+        + zlib.compress(payload.tobytes(), level=1)
+    )
+
+
+def decode(buf: bytes) -> tuple[str, int, int, np.ndarray]:
+    if buf[:4] != MAGIC:
+        raise ValueError("bad magic")
+    fmt_code, w, h = struct.unpack("<BHH", buf[4:9])
+    pixels = np.frombuffer(zlib.decompress(buf[9:]), dtype=np.uint8).reshape(h, w)
+    return FMT_NAMES[fmt_code], w, h, pixels
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash(pixels: np.ndarray) -> int:
+    """64-bit average-hash: 8×8 block means vs global mean (signed int64,
+    two's complement, so it round-trips through a Spark LongType column)."""
+    h, w = pixels.shape
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    blocks = (
+        pixels[: bh * 8, : bw * 8]
+        .reshape(8, bh, 8, bw)
+        .mean(axis=(1, 3))
+    )
+    bits = (blocks > blocks.mean()).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def validate_row(
+    buf: bytes, image_id: str, w: int, h: int, fmt: str,
+    caption: str, stored_phash: int,
+) -> tuple[int, float, bool, bool, bool]:
+    """(status, psnr_db, psnr_ok, caption_ok, phash_ok) for one fetch."""
+    try:
+        dec_fmt, dw, dh, pixels = decode(buf)
+    except Exception:
+        return 422, 0.0, False, False, False
+    orig = synth_pixels(image_id, w, h)
+    p = psnr(orig, pixels)
+    psnr_ok = bool(p >= PSNR_GATE_DB) if fmt == "jpeg" else bool(
+        np.array_equal(orig, pixels)
+    )
+    caption_ok = caption == synth_caption(image_id)
+    phash_ok = phash(pixels) == stored_phash
+    return 200, (999.0 if p == float("inf") else round(p, 3)), psnr_ok, caption_ok, phash_ok

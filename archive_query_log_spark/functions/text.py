@@ -1,0 +1,141 @@
+"""Text scalar functions: cleaning, tokenizing, quality, language-ID,
+fingerprinting (pure column exprs; SURVEY.md §2.8 C4/C5/C13 + the
+training-data text-analysis extensions).
+
+Reference semantics reproduced:
+- clean_text / clean_int: /root/reference/archive_query_log/parsers/utils/__init__.py:5-33
+  (remove-pattern sub → space-pattern → strip → whitespace collapse → '' → null;
+  int parse failure → null).
+- language detection (cld3 in scripts/create_corpus.py:41-48) is re-expressed
+  as a stopword-hit heuristic so it runs JVM-side; a real lang-id model would
+  slot in as a pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def clean_text(
+    text: Column | str,
+    remove_pattern: str | None = None,
+    space_pattern: str | None = None,
+) -> Column:
+    """parsers/utils/__init__.py:5-18, as one codegen-friendly expression."""
+    c = _col(text)
+    if remove_pattern is not None:
+        c = F.regexp_replace(c, remove_pattern, "")
+    if space_pattern is not None:
+        c = F.regexp_replace(c, space_pattern, " ")
+    c = F.trim(c)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.nullif(c, F.lit(""))
+
+
+def clean_int(text: Column | str, remove_pattern: str | None = None) -> Column:
+    """parsers/utils/__init__.py:21-33; parse failure → null (try_cast)."""
+    c = _col(text)
+    if remove_pattern is not None:
+        c = F.regexp_replace(c, remove_pattern, "")
+    return F.try_cast(F.trim(c), "long")
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokens, lowercased; empty input → empty array."""
+    t = F.trim(F.lower(_col(text)))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: words + digits + punctuation runs, the cheap
+    proxy a training pipeline uses for budget accounting."""
+    return F.size(
+        F.regexp_extract_all(
+            _col(text), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+
+
+# tiny built-in stopword lists for the JVM-side lang-id heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "pour"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "por"),
+}
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang`."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokenize(text), lambda t: F.array_contains(words, t)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over per-language stopword hit counts; null if no hits at all."""
+    c = _col(text)
+    hits = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    # when-chain so the FIRST language in sorted order wins ties
+    chain = F.when(best <= 0, F.lit(None).cast("string"))
+    for lang in sorted(STOPWORDS):
+        chain = chain.when(hits[lang] == best, F.lit(lang))
+    return chain
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = _col(text)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    n = F.greatest(token_count(text), F.lit(1))
+    return stopword_hits(text, lang).cast("double") / n.cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0,1]: rewards mid-length docs,
+    stopword presence, low punctuation density (training-data filter)."""
+    c = _col(text)
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    sw = F.least(stopword_ratio(c) * F.lit(4.0), F.lit(1.0))
+    pr = F.lit(1.0) - F.least(punct_ratio(c) * F.lit(5.0), F.lit(1.0))
+    return F.round((len_score + sw + pr) / F.lit(3.0), 6)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key (portable to the DuckDB oracle)."""
+    norm = F.regexp_replace(F.trim(F.lower(_col(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles ('a b c') as an array — MinHash/Jaccard input.
+
+    Built with transform over token indices: stays JVM-side.
+    """
+    toks = tokenize(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )

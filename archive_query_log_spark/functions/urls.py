@@ -1,0 +1,171 @@
+"""URL scalar functions — parse, canonicalize, clean (pure column exprs).
+
+Reference semantics reproduced:
+- parse_url_query_parameter / fragment / path segment:
+  /root/reference/archive_query_log/parsers/utils/url.py:5-27
+  (parse_qsl: first matching key wins, '+' decodes to space).
+- remove_tracking_parameters: api/utils/url_cleaner.py:8-54 (param set below).
+- url_key (SURT canonical key): stored from CDX in the reference
+  (captures/__init__.py:80); computed explicitly here per SURVEY.md §2.8 C17.
+- URL validity: ≤ 32766 bytes (captures/__init__.py:52-60).
+
+Everything here is built-in `pyspark.sql.functions` — no Python UDFs — so the
+10^10-row canonicalization pass stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# api/utils/url_cleaner.py:8-29
+TRACKING_PARAMS = (
+    "utm_source",
+    "utm_medium",
+    "utm_campaign",
+    "utm_term",
+    "utm_content",
+    "fbclid",
+    "gclid",
+    "gclsrc",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "ref",
+    "_ga",
+    "campaign_id",
+)
+
+MAX_URL_BYTES = 32766  # captures/__init__.py:52-60
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def url_host(url: Column | str) -> Column:
+    return F.lower(F.parse_url(_col(url), F.lit("HOST")))
+
+
+def url_path(url: Column | str) -> Column:
+    return F.parse_url(_col(url), F.lit("PATH"))
+
+
+def url_query(url: Column | str) -> Column:
+    return F.parse_url(_col(url), F.lit("QUERY"))
+
+
+def form_decode(value: Column) -> Column:
+    """application/x-www-form-urlencoded decode ('+' → space, %XX)."""
+    return F.url_decode(value)
+
+
+def percent_decode(value: Column) -> Column:
+    """urllib.parse.unquote parity: %XX only, '+' preserved."""
+    return F.url_decode(F.regexp_replace(value, r"\+", "%2B"))
+
+
+def parse_url_query_parameter(parameter: str, url: Column | str) -> Column:
+    """First value of a query param, form-decoded (parsers/utils/url.py:5-9)."""
+    return form_decode(F.parse_url(_col(url), F.lit("QUERY"), F.lit(parameter)))
+
+
+def parse_url_fragment_parameter(parameter: str, url: Column | str) -> Column:
+    """Param parsed out of the #fragment (parsers/utils/url.py:12-16)."""
+    frag = F.parse_url(_col(url), F.lit("REF"))
+    raw = F.regexp_extract(frag, rf"(?:^|&){parameter}=([^&]*)", 1)
+    return form_decode(F.nullif(raw, F.lit("")))
+
+
+def parse_url_path_segment(segment: int, url: Column | str) -> Column:
+    """n-th '/'-segment of the path, percent-decoded
+    (parsers/utils/url.py:19-27: ``path.split("/")[segment]`` then unquote —
+    with a leading '/', segment=1 is the first real segment)."""
+    seg = F.element_at(F.split(url_path(url), "/"), segment + 1)
+    return percent_decode(seg)
+
+
+def query_params_array(url: Column | str) -> Column:
+    """Query string as an array of 'k=v' strings (empty array if none)."""
+    q = url_query(url)
+    return F.when(q.isNull() | (q == ""), F.array().cast("array<string>")).otherwise(
+        F.split(q, "&")
+    )
+
+
+def strip_tracking_params(params: Column) -> Column:
+    """Drop tracking params from a 'k=v' array (url_cleaner.py:31-54)."""
+    names = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
+    key_of = lambda kv: F.split(kv, "=")[0]  # noqa: E731
+    return F.filter(params, lambda kv: ~F.array_contains(names, key_of(kv)))
+
+
+def remove_tracking_parameters(url: Column | str) -> Column:
+    """Rebuild the URL without tracking params (url_cleaner.py:31-54).
+
+    scheme://host[:port]path[?kept_params][#fragment]
+    """
+    u = _col(url)
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    hostport = F.parse_url(u, F.lit("AUTHORITY"))
+    path = F.coalesce(url_path(u), F.lit(""))
+    kept = strip_tracking_params(query_params_array(u))
+    qs = F.array_join(kept, "&")
+    frag = F.parse_url(u, F.lit("REF"))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        hostport,
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        F.when(frag.isNotNull(), F.concat(F.lit("#"), frag)).otherwise(F.lit("")),
+    )
+
+
+def url_key(url: Column | str) -> Column:
+    """SURT-style canonical key (SURVEY.md C17): the frontier dedup key.
+
+    - host lowercased, leading 'www.' stripped, segments reversed and
+      comma-joined ('org,example')
+    - ')' separator, then the path lowercased with any trailing '/' stripped
+    - '?' + tracking-stripped, sorted 'k=v' params (order-insensitive dedup)
+
+    e.g. https://www.Example.org/A/b/?b=2&utm_source=x&a=1
+         → 'org,example)/a/b?a=1&b=2'
+    """
+    u = _col(url)
+    host = F.regexp_replace(url_host(u), r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.regexp_replace(F.coalesce(url_path(u), F.lit("")), "/+$", ""))
+    kept = F.array_sort(strip_tracking_params(query_params_array(u)))
+    return F.concat(
+        rev_host,
+        F.lit(")"),
+        path,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_key_oracle_sql(expr: str) -> str:
+    """DuckDB-SQL twin of url_key() for oracle queries (same steps)."""
+    host = (
+        f"regexp_replace(lower(regexp_extract({expr}, '^[a-z]+://([^/?#]+)', 1)),"
+        " '^www\\.', '')"
+    )
+    path = f"lower(regexp_replace(coalesce(regexp_extract({expr}, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), ''), '/+$', ''))"
+    params = (
+        f"list_sort(list_filter(string_split(regexp_extract({expr}, '\\?([^#]*)', 1), '&'),"
+        " kv -> len(kv) > 0 AND NOT list_contains("
+        "['" + "','".join(TRACKING_PARAMS) + "'], string_split(kv, '=')[1])))"
+    )
+    return (
+        f"(array_to_string(list_reverse(string_split({host}, '.')), ',') || ')' || {path}"
+        f" || CASE WHEN len({params}) > 0 THEN '?' || array_to_string({params}, '&') ELSE '' END)"
+    )
+
+
+def valid_url(url: Column | str) -> Column:
+    """Row-validity filter: URL ≤ 32766 bytes (captures/__init__.py:52-60)."""
+    return F.octet_length(_col(url)) <= MAX_URL_BYTES

@@ -1,0 +1,206 @@
+"""Deduplication suite for training-data pipelines (brief requirement) +
+the reference's own dedup rules (SURVEY.md A8, §1.4).
+
+- exact: hash-groupBy on a normalized fingerprint (md5) — the reference's
+  deterministic-ID create-if-absent collapse, generalized to documents.
+- MinHash + LSH: shingle → k minhashes → bands → bucket self-join →
+  candidate pairs → exact Jaccard verify. The hash is md5-based so the
+  small-scale DuckDB oracle can reproduce signatures bit-exactly; at scale
+  swap HASH_EXPR for xxhash64 (same plan shape, one less md5).
+- SimHash: 64-bit sign-aggregated token hashes, hamming-distance buckets.
+- n-gram Jaccard: exact pairwise within shingle-sharing candidates.
+
+Scale notes: every pairwise step is gated behind a bucket/band equi-join
+(never a cross join); explode(shingles) is the only row expansion and is
+bounded by document length; all aggregations are partial-agg friendly
+(min/sum/count by key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.functions.text import fingerprint, shingles, tokenize
+
+
+def _md5_hash64(col: Column, seed: int) -> Column:
+    """Portable 32-bit hash (in a long) from md5 — DuckDB twin:
+    ('0x' || substr(md5(seed || ':' || x), 1, 8))::UBIGINT"""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint."""
+    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{p-1}): min over shingles of seed-i hash.
+
+    explode → groupBy(id) agg min×p: one shuffle, map-side partial mins.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+    )
+    aggs = [
+        F.min(_md5_hash64(F.col("sh"), seed)).alias(f"mh_{seed}")
+        for seed in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band.
+
+    band value = concat of its rows' minhashes; self-equi-join per band —
+    the scale-safe alternative to pairwise comparison.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, on="band")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    inter/union computed from one self-join on shingle + per-doc sizes —
+    never a cross join.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(shingles(F.col(text_col), shingle_k))
+        ).alias("sh"),
+    ).where(F.col("sh").isNotNull())
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document (xxhash64 token hashes — the fast path).
+
+    explode tokens → 64 conditional sums → reassemble bits. One shuffle.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash32_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 7
+) -> DataFrame:
+    """32-bit SimHash with md5 token hashes — bit-identical in the DuckDB
+    oracle (weaker hash, used only for the correctness gate)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("h", _md5_hash64(F.col("tok"), seed))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(32):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash32"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

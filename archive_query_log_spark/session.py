@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for the 100 TB target (and sane at local[32]):
+- AQE on (runtime coalesce + skew-join splitting for hot hosts),
+- Arrow on for pandas UDFs, with a bounded records-per-batch so binary
+  image columns can't blow executor memory,
+- UTC session timezone (reference truncates to UTC seconds,
+  /root/reference/archive_query_log/utils/time.py:13-14).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "archive-query-log-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records_per_batch: int = 2048,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_max_records_per_batch),
+        )
+        # binary image payloads serialize poorly with the default codec
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
