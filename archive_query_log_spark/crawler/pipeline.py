@@ -9,11 +9,16 @@ SURVEY.md §2.11 — worklist flags, not a stream processor):
         ──▶ commits: fetches++, seen_keys++, seen_shards (rebuilt),
                      frontier (flags flipped), metrics++
 
-Checkpoint/resume: every table is a SnapshotTable; a round commits in a fixed
-order finishing with `frontier` (the worklist). A kill between commits is
-safe: re-running the round re-selects still-pending rows and re-derives the
-same deterministic IDs — replays are idempotent exactly as the reference's
-create-if-absent writes are (SURVEY.md §1.4).
+Checkpoint/resume (exactly-once): every table is a SnapshotTable and every
+round is a deterministic function of the *pre-round* snapshot versions. A
+round's commits are tagged with its round id; on replay after a kill,
+``run_round`` (a) reads each input table at its latest snapshot NOT belonging
+to this round, so a partially-committed round can't feed itself, and (b)
+skips any output commit already recorded for this round. Because the
+computation is deterministic (md5 scores, url_key tiebreaks), the replay
+reproduces byte-identical outputs and only fills in the missing commits —
+the multi-table transaction the reference gets from ES create-if-absent ops
+(SURVEY.md §1.4), without a coordinator. Verified by the kill/resume test.
 
 Reproducibility: all ordering derives from md5-based scores + url_key
 tiebreaks → the schedule (wave, dispatch_ts per url) is identical at any
@@ -76,6 +81,35 @@ def candidates(frontier: DataFrame) -> DataFrame:
     )
 
 
+def _version_before_round(table: SnapshotTable, round_id: int) -> int | None:
+    """Latest snapshot version not produced by `round_id` (replay safety)."""
+    if not table.exists():
+        return None
+    for m in reversed(table.history()):
+        r = m["meta"].get("round")
+        if r is None or r < round_id:
+            return m["version"]
+    return None
+
+
+def _commit_once(
+    table: SnapshotTable, df: DataFrame, op: str, round_id: int
+) -> bool:
+    """Commit unless this round already committed to this table (replay)."""
+    v = table.latest_version()
+    if v is not None and table._manifest(v)["meta"].get("round") == round_id:
+        return False
+    table.commit(df, op=op, meta={"round": round_id})
+    return True
+
+
+def next_round_id(state: CrawlState) -> int:
+    v = state.metrics.latest_version()
+    if v is None:
+        return 0
+    return state.metrics._manifest(v)["meta"].get("round", -1) + 1
+
+
 def run_round(
     spark: SparkSession,
     state: CrawlState,
@@ -88,7 +122,10 @@ def run_round(
     from archive_query_log_spark.functions.ids import worklist_score
 
     cfg = cfg or CrawlConfig()
-    frontier = state.frontier.read(spark)
+    f_ver = _version_before_round(state.frontier, round_id)
+    seen_ver = _version_before_round(state.seen_keys, round_id)
+    shard_ver = _version_before_round(state.seen_shards, round_id)
+    frontier = state.frontier.read(spark, version=f_ver)
 
     cand = candidates(frontier).withColumn(
         "score",
@@ -102,10 +139,10 @@ def run_round(
 
     # seen-set filter: within-batch first-seen (A8) + shard/exact novelty
     cand = seen_set.first_seen_in_batch(cand, "url_key", "ts")
-    seen = state.seen_keys.read(spark) if state.seen_keys.exists() else None
+    seen = state.seen_keys.read(spark, seen_ver) if seen_ver is not None else None
     shards = (
-        state.seen_shards.read(spark)
-        if (cfg.use_bloom and state.seen_shards.exists())
+        state.seen_shards.read(spark, shard_ver)
+        if (cfg.use_bloom and shard_ver is not None)
         else None
     )
     fresh = seen_set.filtered_new(cand, seen, shards, "url_key", cfg.n_buckets)
@@ -122,20 +159,21 @@ def run_round(
     results = fetch_and_validate(scheduled, images)
     results.cache()
 
-    state.fetches.commit(results, op="append", meta={"round": round_id})
+    _commit_once(state.fetches, results, "append", round_id)
 
     # seen-set update: exact keys append + bloom shard rebuild
     new_keys = results.select("url_key").dropDuplicates(["url_key"])
-    state.seen_keys.commit(new_keys, op="append", meta={"round": round_id})
+    _commit_once(state.seen_keys, new_keys, "append", round_id)
     if cfg.use_bloom:
         all_keys = state.seen_keys.read(spark)
-        state.seen_shards.commit(
+        _commit_once(
+            state.seen_shards,
             seen_set.build_bloom_shards(
                 all_keys, "url_key",
                 seen_set.BloomConfig(n_buckets=cfg.n_buckets),
             ),
-            op="overwrite",
-            meta={"round": round_id},
+            "overwrite",
+            round_id,
         )
 
     # frontier flag flip (the reference's last_fetched/should_fetch update)
@@ -154,7 +192,7 @@ def run_round(
         )
         .drop("_fetched")
     )
-    state.frontier.commit(updated, op="overwrite", meta={"round": round_id})
+    _commit_once(state.frontier, updated, "overwrite", round_id)
 
     # lineage + metrics per (round, host-bucket partition)
     per_bucket = (
@@ -174,7 +212,7 @@ def run_round(
         )
         .withColumn("round", F.lit(round_id))
     )
-    state.metrics.commit(per_bucket, op="append", meta={"round": round_id})
+    _commit_once(state.metrics, per_bucket, "append", round_id)
 
     totals = results.agg(
         F.count("*").alias("fetched"),
@@ -192,9 +230,13 @@ def run(
     cfg: CrawlConfig | None = None,
     max_rounds: int = 10,
 ) -> list[dict]:
-    """Drive rounds until the pending worklist is empty (or max_rounds)."""
+    """Drive rounds until the pending worklist is empty (or max_rounds).
+
+    Resumes automatically: the next round id comes from the committed
+    metrics log, so a killed ``run`` continues where it stopped."""
     stats = []
-    for r in range(max_rounds):
+    r0 = next_round_id(state)
+    for r in range(r0, r0 + max_rounds):
         n_pending = candidates(state.frontier.read(spark)).limit(1).count()
         if n_pending == 0:
             break
