@@ -36,19 +36,39 @@ _WORDS = (
 ).split()
 
 
+_SM1 = np.uint64(0x9E3779B97F4A7C15)
+_SM2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM3 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based splitmix64 — fully vectorized deterministic noise.
+    (numpy array integer ops wrap silently — no errstate needed)"""
+    z = x + _SM1
+    z = (z ^ (z >> np.uint64(30))) * _SM2
+    z = (z ^ (z >> np.uint64(27))) * _SM3
+    return z ^ (z >> np.uint64(31))
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
-    """Deterministic pseudo-random grayscale pixels keyed by image_id."""
-    seed = int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "big")
-    rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    """Deterministic pseudo-random grayscale pixels keyed by image_id.
+
+    Counter-based (seed + pixel index through splitmix64) so generation is
+    3 numpy ops per image — per-row RNG-object construction was the decode
+    hot spot at 500k fetches."""
+    seed = np.uint64(
+        int.from_bytes(hashlib.md5(image_id.encode()).digest()[:8], "big")
+    )
+    ctr = seed + np.arange(w * h, dtype=np.uint64)
+    return (_splitmix64(ctr) & np.uint64(0xFF)).astype(np.uint8).reshape(h, w)
 
 
 def synth_caption(image_id: str) -> str:
     """Deterministic caption keyed by image_id (byte-exact check target)."""
-    seed = int.from_bytes(hashlib.md5((image_id + ":cap").encode()).digest()[:8], "big")
-    rng = np.random.Generator(np.random.PCG64(seed))
-    n = int(rng.integers(3, 9))
-    return " ".join(_WORDS[int(i)] for i in rng.integers(0, len(_WORDS), n))
+    d = hashlib.md5((image_id + ":cap").encode()).digest()
+    n = 3 + d[0] % 6
+    k = len(_WORDS)
+    return " ".join(_WORDS[d[1 + i] % k] for i in range(n))
 
 
 def _quantize(pixels: np.ndarray) -> np.ndarray:
@@ -87,16 +107,12 @@ def phash(pixels: np.ndarray) -> int:
     two's complement, so it round-trips through a Spark LongType column)."""
     h, w = pixels.shape
     bh, bw = max(1, h // 8), max(1, w // 8)
-    blocks = (
-        pixels[: bh * 8, : bw * 8]
-        .reshape(8, bh, 8, bw)
-        .mean(axis=(1, 3))
-    )
-    bits = (blocks > blocks.mean()).ravel()
-    v = 0
-    for i, b in enumerate(bits):
-        if b:
-            v |= 1 << i
+    win = pixels[: bh * 8, : bw * 8]
+    # integer-exact: block_mean > global_mean ⟺ 64·block_sum > total_sum
+    sums = win.reshape(8, bh, 8, bw).sum(axis=(1, 3), dtype=np.int64)
+    total = int(sums.sum())
+    bits = (sums.ravel() * 64 > total).astype(np.uint64)
+    v = int(np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64)))
     return v - (1 << 64) if v >= (1 << 63) else v
 
 

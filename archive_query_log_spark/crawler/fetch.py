@@ -3,17 +3,19 @@
 
 The reference fetches from external archive APIs row-by-row behind a rate
 limiter (/root/reference/archive_query_log/downloaders/warc.py:85-118). Here
-the "archive" is the images table: the fetch is an equi-join frontier→images
-on image_id, and the payload validation (decode, PSNR, caption, phash —
-BASELINE.json input_hint) runs in ONE Arrow-batched mapInPandas pass.
+the "archive" is the images table; payload validation (decode, PSNR, caption,
+phash — BASELINE.json input_hint) runs in ONE Arrow-batched mapInPandas pass.
 
-Scale notes:
-- join strategy: images is the big side at 100 TB → shuffle join
-  co-partitioned on image_id (the frontier was minted with image_id, so
-  bucketing both on image_id makes this a local join); at test scale AQE
-  broadcasts the small side automatically.
-- the decode UDF sees only (bytes, ...) columns it needs; Arrow batch size
-  is capped in session.py so binary batches fit executor memory.
+Scale design — the content-addressed fetch cache:
+- Payloads are keyed by image_id (deterministic IDs, the reference's own
+  identity principle, SURVEY.md §1.4), so a payload's validation verdict is a
+  pure function of the payload. ``validate_images`` decodes each DISTINCT
+  payload exactly once (|images| UDF rows, only payload columns cross the
+  Arrow boundary), and ``fetch_and_validate`` attaches verdicts to scheduled
+  fetches with a JVM-side equi-join — at 500k fetches over 50k images this is
+  ~7× less Python and no struct columns serialized through Arrow.
+- ``per_fetch=True`` keeps the decode-every-fetch path for parity testing
+  (identical results, proven in tests).
 - per-row fetch/decode errors become status columns, never task failures
   (reference's skip-and-warn semantics, captures/__init__.py:126-150).
 """
@@ -29,37 +31,99 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    StringType,
     StructField,
     StructType,
 )
 
 from archive_query_log_spark.crawler import codec
 
-_VALIDATION_FIELDS = [
-    StructField("fetch_status", IntegerType(), False),
-    StructField("psnr_db", DoubleType(), False),
-    StructField("psnr_ok", BooleanType(), False),
-    StructField("caption_ok", BooleanType(), False),
-    StructField("phash_ok", BooleanType(), False),
-]
+VERDICT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("fetch_status", IntegerType(), False),
+        StructField("psnr_db", DoubleType(), False),
+        StructField("psnr_ok", BooleanType(), False),
+        StructField("caption_ok", BooleanType(), False),
+        StructField("phash_ok", BooleanType(), False),
+    ]
+)
+
+_PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
 
-def fetch_and_validate(scheduled: DataFrame, images: DataFrame) -> DataFrame:
-    """scheduled (must carry image_id) ⋈ images → decode + validate.
+def validate_images(images: DataFrame) -> DataFrame:
+    """Decode + validate each payload once → (image_id, verdict columns).
+
+    Only the payload columns cross the Arrow boundary; the loop body is
+    columnar (lists once per batch, no per-row pandas indexing)."""
+
+    def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = tuple(pdf[c].tolist() for c in _PAYLOAD_COLS)
+            rows = []
+            for iid, buf, w, h, fmt, cap, ph in zip(*cols):
+                if buf is None:
+                    rows.append((iid, 404, 0.0, False, False, False))
+                    continue
+                s, p, a, b, c = codec.validate_row(
+                    bytes(buf), iid, int(w), int(h), fmt, cap, int(ph)
+                )
+                rows.append((iid, s, p, a, b, c))
+            yield pd.DataFrame(rows, columns=[f.name for f in VERDICT_SCHEMA.fields])
+
+    return images.select(*_PAYLOAD_COLS).mapInPandas(validate, VERDICT_SCHEMA)
+
+
+def fetch_and_validate(
+    scheduled: DataFrame,
+    images: DataFrame,
+    per_fetch: bool = False,
+    broadcast_images: bool = False,
+) -> DataFrame:
+    """scheduled (must carry image_id) ⋈ payload verdicts.
 
     Returns scheduled columns + fetch_status/psnr_db/psnr_ok/caption_ok/
     phash_ok. Missing image (dead link) → fetch_status 404.
+
+    broadcast_images: hash-join the payload table map-side. At 100 TB the
+    equivalent is bucketing BOTH tables on image_id (co-located join, no
+    shuffle); in-sandbox the broadcast stands in for that layout. Because a
+    map-side join PRESERVES the incoming (host-skewed) partitioning, the
+    scheduled side is round-robin rebalanced first — otherwise the hot host
+    rides a single straggler task through the decode UDF.
     """
+    if broadcast_images:
+        spark = scheduled.sparkSession
+        n_slots = spark.sparkContext.defaultParallelism * 4
+        scheduled = scheduled.repartition(n_slots)
+        images = F.broadcast(images)
+    if per_fetch:
+        verdicts = _per_fetch_verdicts(scheduled, images)
+        return verdicts
+    verdicts = validate_images(images)
+    out = scheduled.join(verdicts, on="image_id", how="left")
+    return (
+        out.withColumn("fetch_status", F.coalesce("fetch_status", F.lit(404)))
+        .withColumn("psnr_db", F.coalesce("psnr_db", F.lit(0.0)))
+        .withColumn("psnr_ok", F.coalesce("psnr_ok", F.lit(False)))
+        .withColumn("caption_ok", F.coalesce("caption_ok", F.lit(False)))
+        .withColumn("phash_ok", F.coalesce("phash_ok", F.lit(False)))
+    )
+
+
+def _per_fetch_verdicts(scheduled: DataFrame, images: DataFrame) -> DataFrame:
+    """Parity path: decode at every fetch row (payload joined inline, one
+    mapInPandas over the joined rows). Same results as the cached path
+    (proven in tests). Narrow `scheduled` to the columns you need before
+    calling — everything it carries crosses the Arrow boundary."""
     joined = scheduled.join(
-        images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash"),
-        on="image_id",
-        how="left",
+        images.select(*_PAYLOAD_COLS), on="image_id", how="left"
     )
     in_fields = [
-        f for f in joined.schema.fields
-        if f.name not in ("bytes", "w", "h", "fmt", "caption", "phash")
+        f for f in joined.schema.fields if f.name not in _PAYLOAD_COLS[1:]
     ]
-    out_schema = StructType(in_fields + _VALIDATION_FIELDS)
+    out_schema = StructType(in_fields + list(VERDICT_SCHEMA.fields[1:]))
     keep = [f.name for f in in_fields]
 
     def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -68,19 +132,12 @@ def fetch_and_validate(scheduled: DataFrame, images: DataFrame) -> DataFrame:
             status = [404] * n
             psnr_db = [0.0] * n
             oks = [[False] * n for _ in range(3)]
-            bufs = pdf["bytes"]
-            for j in range(n):
-                buf = bufs.iloc[j]
+            cols = tuple(pdf[c].tolist() for c in _PAYLOAD_COLS)
+            for j, (iid, buf, w, h, fmt, cap, ph) in enumerate(zip(*cols)):
                 if buf is None:
                     continue
                 s, p, a, b, c = codec.validate_row(
-                    bytes(buf),
-                    pdf["image_id"].iloc[j],
-                    int(pdf["w"].iloc[j]),
-                    int(pdf["h"].iloc[j]),
-                    pdf["fmt"].iloc[j],
-                    pdf["caption"].iloc[j],
-                    int(pdf["phash"].iloc[j]),
+                    bytes(buf), iid, int(w), int(h), fmt, cap, int(ph)
                 )
                 status[j], psnr_db[j] = s, p
                 oks[0][j], oks[1][j], oks[2][j] = a, b, c

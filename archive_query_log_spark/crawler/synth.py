@@ -209,11 +209,11 @@ def synth_robots(spark: SparkSession) -> DataFrame:
     rows = []
     for i in range(N_HOSTS):
         host = f"h{i:02d}.example.com"
-        rows.append((host, None, True, 10.0))
+        # one host-wide ruleset per host; h07's replaces the default
+        rows.append((host, None, True, 30.0 if i == 7 else 10.0))
     rows += [
         ("h00.example.com", "/img", True, 2.0),       # hot host, fast lane
-        ("h03.example.com", "/search", False, 10.0),  # disallowed prefix
-        ("h07.example.com", None, True, 30.0),        # slow host
+        ("h04.example.com", "/search", False, 10.0),  # disallowed prefix
     ]
     return spark.createDataFrame(
         rows, "host string, path_prefix string, allow boolean, crawl_delay_s double"

@@ -1,0 +1,982 @@
+"""The driver-contract query surface: one named query per implemented
+operator from SURVEY.md §2 (+ the training-data extensions), each with a
+DuckDB oracle twin in ``oracle_sql()``.
+
+Conventions that make the hash-compare gate deterministic:
+- every ORDER BY used under a LIMIT is total (explicit tiebreaks);
+- floating aggregates go through DECIMAL (exact, order-independent) or are
+  rounded after bit-identical scalar arithmetic;
+- all "random" scoring is md5-based (identical in Spark and DuckDB);
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.functions import text as T
+from archive_query_log_spark.functions import urls as U
+from archive_query_log_spark.functions.ids import (
+    md5_rand,
+    md5_rand_oracle_sql,
+    saturation,
+    timestamp14,
+)
+from archive_query_log_spark.operators import dedup, search, similarity
+from archive_query_log_spark.operators.asof import asof_join
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: the crawl scheduler end-to-end over a frontier minted from events
+# (S1 scan + C17 url_key + W1 scoring + W2 politeness waves)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_URL = (
+    "('https://h' || lpad(CAST(user_id % 40 AS VARCHAR), 2, '0')"
+    " || '.example.com/search?q=' || CAST(event_id AS VARCHAR)"
+    " || CASE WHEN event_id % 5 = 0 THEN '&utm_source=feed' ELSE '' END)"
+)
+
+_FLAGSHIP_ORACLE = f"""
+WITH frontier AS (
+  SELECT event_id,
+         'h' || lpad(CAST(user_id % 40 AS VARCHAR), 2, '0') || '.example.com' AS host,
+         {_FLAGSHIP_URL} AS url,
+         value / (value + 10.0) + {md5_rand_oracle_sql("event_id")} AS score
+  FROM events WHERE value IS NOT NULL
+),
+keyed AS (
+  SELECT event_id, host, {U.url_key_oracle_sql("url")} AS url_key, score
+  FROM frontier
+),
+dedup AS (
+  SELECT * FROM keyed
+  QUALIFY row_number() OVER (PARTITION BY url_key ORDER BY event_id) = 1
+),
+ranked AS (
+  SELECT event_id, host, url_key,
+         row_number() OVER (PARTITION BY host ORDER BY score DESC, url_key) - 1 AS wave
+  FROM dedup
+)
+SELECT event_id, host, url_key, CAST(wave AS BIGINT) AS wave,
+       TIMESTAMP '2024-02-01 00:00:00' + INTERVAL (wave * 10) SECOND AS dispatch_ts
+FROM ranked WHERE wave < 16
+"""
+
+
+@_q("flagship_crawl_schedule", _FLAGSHIP_ORACLE)
+def flagship_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    host = F.concat(
+        F.lit("h"),
+        F.lpad(F.pmod(F.col("user_id"), F.lit(40)).cast("string"), 2, "0"),
+        F.lit(".example.com"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/search?q="),
+        F.col("event_id").cast("string"),
+        F.when(F.pmod(F.col("event_id"), F.lit(5)) == 0, F.lit("&utm_source=feed"))
+        .otherwise(F.lit("")),
+    )
+    frontier = ev.select(
+        "event_id",
+        host.alias("host"),
+        U.url_key(url).alias("url_key"),
+        (saturation(F.col("value"), 10.0) + md5_rand(F.col("event_id"))).alias(
+            "score"
+        ),
+    )
+    w_seen = Window.partitionBy("url_key").orderBy("event_id")
+    deduped = (
+        frontier.withColumn("_rn", F.row_number().over(w_seen))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_host = Window.partitionBy("host").orderBy(F.desc("score"), F.asc("url_key"))
+    return (
+        deduped.withColumn("wave", (F.row_number().over(w_host) - 1).cast("long"))
+        .where(F.col("wave") < 16)
+        .select(
+            "event_id",
+            "host",
+            "url_key",
+            "wave",
+            F.timestamp_add(
+                "SECOND",
+                (F.col("wave") * 10).cast("int"),
+                F.to_timestamp(F.lit("2024-02-01 00:00:00")),
+            ).alias("dispatch_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 scans, filters, worklist semantics
+# ---------------------------------------------------------------------------
+
+_S1_FLAG = (
+    "CASE WHEN event_type = 'view' THEN NULL"
+    " WHEN event_type = 'purchase' THEN FALSE ELSE TRUE END"
+)
+
+
+@_q(
+    "s1_worklist_scan",
+    f"""
+WITH flagged AS (SELECT event_id, {_S1_FLAG} AS should_parse FROM events)
+SELECT event_id FROM flagged
+WHERE should_parse IS NULL OR should_parse
+ORDER BY {md5_rand_oracle_sql("event_id")} DESC, event_id LIMIT 500
+""",
+)
+def s1_worklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+F1: flag-pending scan (null counts as pending), scored batch take."""
+    ev = _t(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "view", F.lit(None).cast("boolean"))
+        .when(F.col("event_type") == "purchase", F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    flagged = ev.select("event_id", flag.alias("should_parse"))
+    return (
+        flagged.where(F.col("should_parse").isNull() | F.col("should_parse"))
+        .orderBy(F.desc(md5_rand(F.col("event_id"))), F.asc("event_id"))
+        .select("event_id")
+        .limit(500)
+    )
+
+
+@_q(
+    "f2_refetch_window",
+    """
+SELECT event_id, ts FROM events
+WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 4 WEEK
+""",
+)
+def f2_refetch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: the 4-week re-poll window (captures/__init__.py:28,163-176)."""
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    return ev.where(
+        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 4 WEEKS")
+    ).select("event_id", "ts")
+
+
+@_q(
+    "f7_row_validity",
+    "SELECT doc_id, n_chars FROM documents WHERE length(text) <= 900",
+)
+def f7_row_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: byte-length validity gate (URL ≤ 32766 analog)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") <= 900)
+        .select("doc_id", "n_chars")
+    )
+
+
+@_q(
+    "a12_progress_ratio",
+    """
+SELECT o_orderstatus,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS done,
+       count(*) AS total,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS ratio
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def a12_progress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-stage done/total progress counts (monitoring.py:258-288)."""
+    done = F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            done.cast("long").alias("done"),
+            F.count("*").alias("total"),
+            (done.cast("double") / F.count("*")).alias("ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "j1_source_crossproduct",
+    """
+SELECT r.r_name AS archive_name, n.n_name AS provider_name, t.tld AS tld,
+       md5(r.r_name || ':' || n.n_name || ':' || t.tld) AS source_key
+FROM region r CROSS JOIN nation n CROSS JOIN (SELECT unnest(['com','org']) AS tld) t
+""",
+)
+def j1_source_crossproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: archive × provider × exploded domains cross-product
+    (sources/__init__.py:17-57); both dims broadcast."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    tlds = F.explode(F.array(F.lit("com"), F.lit("org"))).alias("tld")
+    out = F.broadcast(r).crossJoin(F.broadcast(n)).select("r_name", "n_name", tlds)
+    return out.select(
+        F.col("r_name").alias("archive_name"),
+        F.col("n_name").alias("provider_name"),
+        F.col("tld"),
+        F.md5(F.concat_ws(":", "r_name", "n_name", "tld")).alias("source_key"),
+    )
+
+
+@_q(
+    "j2_multiway_join",
+    """
+SELECT c.c_custkey AS custkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY c.c_custkey ORDER BY revenue DESC, custkey LIMIT 100
+""",
+)
+def j2_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: multi-way equi-join by key (create_corpus.py:116-138 shape).
+    Revenue summed in DECIMAL → exact and order-independent across engines."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "j3_asof_join",
+    """
+SELECT a.event_id, a.ts,
+       (SELECT max(b.ts) FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts <= a.ts) AS view_ts
+FROM events a WHERE a.event_type = 'purchase'
+""",
+)
+def j3_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: as-of join — for each purchase, the nearest preceding view of the
+    same user (captures/__init__.py:207-268 semantics), via the union-merge
+    single-shuffle plan in operators/asof.py."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        direction="backward", right_payload=[],
+    )
+    return out.select("event_id", "ts", F.col("ts_right").alias("view_ts"))
+
+
+@_q(
+    "j7_anti_join",
+    """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: left-anti 'already done → skip' (parsers/url_query.py:111-117)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a2_distinct_users",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+""",
+)
+def a2_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (exact twin of approx_count_distinct; the approx variant is
+    library-level — HLL sketches differ across engines by design)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_q(
+    "a3_topk",
+    """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+""",
+)
+def a3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: top-k terms (api/routers/serps.py:288-320)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+@_q(
+    "a4_date_histogram",
+    """
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket, count(*) AS n
+FROM events GROUP BY 1 ORDER BY bucket
+""",
+)
+def a4_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: calendar tumbling-window histogram (serps.py:371-461)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "a8_minby_dedup",
+    """
+SELECT user_id, event_id AS first_event, ts AS first_ts FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+""",
+)
+def a8_minby_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: keep-earliest-per-key dedup (evaluation_time_series.ipynb cell 14;
+    the frontier collision rule)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@_q(
+    "a9_count_by_timekey",
+    """
+SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+       CAST(day(ts) AS INT) AS d, count(*) AS n
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def a9_count_by_timekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: composite (y,m,d) countByKey (evaluation_time_series.ipynb)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("y"), F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5/2.6 windows, ranking, sampling
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "w1_priority_rank",
+    f"""
+WITH scored AS (
+  SELECT event_id, value / (value + 10.0) + {md5_rand_oracle_sql("event_id")} AS score
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, row_number() OVER (ORDER BY score DESC, event_id) AS rank
+FROM scored QUALIFY rank <= 200
+""",
+)
+def w1_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: priority-saturation + deterministic-random queue order
+    (captures/__init__.py:177-182)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    scored = ev.select(
+        "event_id",
+        (saturation(F.col("value"), 10.0) + md5_rand(F.col("event_id"))).alias(
+            "score"
+        ),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 200)
+        .select("event_id", "rank")
+    )
+
+
+@_q(
+    "w3_rank_assignment",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents WHERE doc_id < 50
+),
+ex AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks)
+SELECT doc_id, CAST(i - 1 AS INT) AS rank, ts[i] AS token FROM ex
+""",
+)
+def w3_rank_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: rank assignment by document order — posexplode
+    (parsers/warc_web_search_result_blocks.py:135,170-179)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("rank", "token")
+    )
+
+
+@_q(
+    "o1_pagination",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderdate, o_orderkey LIMIT 20 OFFSET 100
+""",
+)
+def o1_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: paginated slice [from:from+size] (serps.py:196-199)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .offset(100)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "o3_random_sample",
+    f"""
+SELECT event_id FROM events
+ORDER BY {md5_rand_oracle_sql("event_id", seed=7)}, event_id LIMIT 100
+""",
+)
+def o3_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: deterministic random sample-n (export/__init__.py:46-48, with
+    seeded md5 ordering instead of ES RandomScore)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.asc(md5_rand(F.col("event_id"), seed=7)), F.asc("event_id"))
+        .select("event_id")
+        .limit(100)
+    )
+
+
+@_q("u3_distinct", "SELECT DISTINCT event_type, user_id % 10 AS cohort FROM events")
+def u3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: distinct (process_stats.ipynb cell 13)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.pmod(F.col("user_id"), F.lit(10)).alias("cohort"))
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions: URL parsing / canonicalization / cleaning
+# ---------------------------------------------------------------------------
+
+_C1_URL = (
+    "('https://h' || CAST(user_id % 40 AS VARCHAR) || '.example.com/search"
+    "?q=spark+query+' || CAST(event_id AS VARCHAR) || '&page=' || CAST(user_id % 7 AS VARCHAR)"
+    " || '#frag=x%20y')"
+)
+
+
+@_q(
+    "c1_parse_url_params",
+    f"""
+WITH u AS (SELECT event_id, {_C1_URL} AS url FROM events WHERE event_id < 2000)
+SELECT event_id,
+       replace(regexp_extract(url, 'q=([^&#]*)', 1), '+', ' ') AS q,
+       CAST(regexp_extract(url, 'page=([0-9]+)', 1) AS BIGINT) AS page,
+       replace(regexp_extract(url, 'frag=([^&]*)', 1), '%20', ' ') AS frag
+FROM u
+""",
+)
+def c1_parse_url_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C2/C5: query-param, fragment-param extraction + int cleaning
+    (parsers/utils/url.py:5-27) over deterministically minted URLs."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(F.col("user_id"), F.lit(40)).cast("string"),
+        F.lit(".example.com/search?q=spark+query+"),
+        F.col("event_id").cast("string"),
+        F.lit("&page="),
+        F.pmod(F.col("user_id"), F.lit(7)).cast("string"),
+        F.lit("#frag=x%20y"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        U.parse_url_query_parameter("q", "url").alias("q"),
+        T.clean_int(U.parse_url_query_parameter("page", "url")).alias("page"),
+        U.parse_url_fragment_parameter("frag", "url").alias("frag"),
+    )
+
+
+_C17_URL = (
+    "('https://WWW.H' || CAST(user_id % 40 AS VARCHAR)"
+    " || '.Example.COM/Path/' || CAST(event_id AS VARCHAR) || '/'"
+    " || '?utm_source=x&q=' || CAST(event_id % 7 AS VARCHAR) || '&b=2')"
+)
+
+
+@_q(
+    "c17_url_key",
+    f"""
+WITH u AS (SELECT event_id, lower({_C17_URL}) AS url FROM events WHERE event_id < 2000)
+SELECT event_id, {U.url_key_oracle_sql("url")} AS url_key FROM u
+""",
+)
+def c17_url_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17+C9: SURT canonical key with tracking-param strip + sort."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    url = F.lower(
+        F.concat(
+            F.lit("https://WWW.H"),
+            F.pmod(F.col("user_id"), F.lit(40)).cast("string"),
+            F.lit(".Example.COM/Path/"),
+            F.col("event_id").cast("string"),
+            F.lit("/?utm_source=x&q="),
+            F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+            F.lit("&b=2"),
+        )
+    )
+    return ev.select("event_id", U.url_key(url).alias("url_key"))
+
+
+@_q(
+    "c4_clean_text",
+    r"""
+SELECT doc_id,
+       nullif(regexp_replace(trim(regexp_replace(regexp_replace(text, '[0-9]+', '', 'g'),
+              '[_\-]+', ' ', 'g')), '\s+', ' ', 'g'), '') AS cleaned
+FROM documents WHERE doc_id < 100
+""",
+)
+def c4_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: clean_text remove/space/strip/collapse/nullif cascade
+    (parsers/utils/__init__.py:5-18)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        T.clean_text(F.col("text"), r"[0-9]+", r"[_\-]+").alias("cleaned"),
+    )
+
+
+@_q(
+    "c6_timestamp14",
+    "SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS ts14 FROM events WHERE event_id < 3000",
+)
+def c6_timestamp14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: the %Y%m%d%H%M%S capture-ID timestamp (captures/__init__.py:62-64)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return ev.select("event_id", timestamp14(F.col("ts")).alias("ts14"))
+
+
+# ---------------------------------------------------------------------------
+# §2.10 full-text query surface
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "q1_fulltext_match",
+    """
+SELECT doc_id FROM documents
+WHERE list_contains(string_split(lower(trim(text)), ' '), 'spark')
+  AND list_contains(string_split(lower(trim(text)), ' '), 'query')
+""",
+)
+def q1_fulltext_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: token match on an analyzed field (serps.py:147-154)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        search.match_any_token(F.col("text"), "spark")
+        & search.match_any_token(F.col("text"), "query")
+    ).select("doc_id")
+
+
+@_q(
+    "q2_advanced_search",
+    """
+SELECT doc_id FROM documents
+WHERE (list_contains(string_split(lower(trim(text)), ' '), 'spark')
+       AND list_contains(string_split(lower(trim(text)), ' '), 'window'))
+   OR (' ' || array_to_string(string_split(lower(trim(text)), ' '), ' ') || ' ')
+      LIKE '% fast join %'
+""",
+)
+def q2_advanced_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: the advanced boolean query language compiled to a Column tree
+    (api/utils/advanced_search_parser.py:48-266)."""
+    d = _t(spark, sf_dir, "documents")
+    pred = search.compile_advanced_query(
+        '(spark AND window) OR "fast join"', F.col("text")
+    )
+    return d.where(pred).select("doc_id")
+
+
+@_q(
+    "q3_prefix_suggest",
+    """
+SELECT DISTINCT event_type FROM events
+WHERE lower(event_type) LIKE 'p%' ORDER BY event_type LIMIT 100
+""",
+)
+def q3_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: match-phrase-prefix suggestions (serps.py:224-251)."""
+    return search.prefix_suggest(_t(spark, sf_dir, "events"), "event_type", "p")
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (training-data ops)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@_q(
+    "dedup_exact",
+    f"""
+SELECT doc_id, md5({_NORM}) AS fp FROM documents
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id").select("doc_id", "fp")
+
+
+def _minhash_oracle(num_perm: int = 8) -> str:
+    mins = ",\n       ".join(
+        f"min(('0x' || substr(md5('{s}:' || sh), 1, 8))::UBIGINT)::BIGINT AS mh_{s}"
+        for s in range(num_perm)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+  FROM documents WHERE doc_id < 100
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+  FROM toks WHERE len(ts) >= 3
+)
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+"""
+
+
+@_q("dedup_minhash_signatures", _minhash_oracle(8))
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 md5-permutations over 3-token shingles) —
+    the LSH building block; portable hashes so the oracle is bit-exact."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return dedup.minhash_signatures(d, "text", "doc_id", num_perm=8, shingle_k=3)
+
+
+@_q(
+    "dedup_jaccard_pairs",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+  FROM documents WHERE doc_id < 150
+),
+sh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
+  FROM toks WHERE len(ts) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= 0.1
+""",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, candidate-gated on shared shingles."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return dedup.jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.1)
+
+
+def _simhash_oracle(bits: int = 32, seed: int = 7) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+  FROM documents WHERE doc_id < 100
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5('{seed}:' || tok), 1, 8))::UBIGINT::BIGINT AS h
+  FROM toks
+)
+SELECT doc_id, {terms} AS simhash32 FROM hashed GROUP BY doc_id
+"""
+
+
+@_q("dedup_simhash", _simhash_oracle(32, 7))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document sketches (portable 32-bit variant; the fast 64-bit
+    xxhash64 variant is operators/dedup.py:simhash64)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return dedup.simhash32_md5(d, "text", "doc_id", seed=7)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS sim
+  FROM embeddings e, q
+)
+SELECT vec_id, round(sim, 4) AS cos_sim FROM s
+ORDER BY round(sim, 4) DESC, vec_id LIMIT 20
+"""
+
+
+@_q("ann_bruteforce_topk", _ANN_ORACLE)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (JVM-side zip_with/aggregate dot product);
+    the LSH-bucketed scale path is operators/similarity.py:ann_lsh_topk."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.brute_force_topk(e, qv, k=20, id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_token_stats",
+    r"""
+SELECT doc_id,
+       CAST(len(string_split(lower(trim(text)), ' ')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_ish
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+_LANG_SQL_SETS = {
+    lang: "[" + ",".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in T.STOPWORDS.items()
+}
+_LANG_HITS = {
+    lang: (
+        f"len(list_filter(string_split(lower(trim(text)), ' '),"
+        f" t -> list_contains({arr}, t)))"
+    )
+    for lang, arr in _LANG_SQL_SETS.items()
+}
+_LANG_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(T.STOPWORDS)) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_BEST + " <= 0 THEN NULL "
+    + " ".join(
+        f"WHEN h_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(T.STOPWORDS)
+    )
+    + " END"
+)
+
+
+@_q(
+    "text_lang_id",
+    f"""
+WITH hits AS (
+  SELECT doc_id, {', '.join(f'{expr} AS h_{lang}' for lang, expr in _LANG_HITS.items())}
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, {_LANG_CASE} AS lang_pred FROM hits
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic (C13 re-expressed JVM-side)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@_q(
+    "text_quality",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+              t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))
+              AS DOUBLE) AS sw,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr
+  FROM documents
+)
+SELECT doc_id,
+       round((least(n_tok / 64.0, 1.0)
+            + least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+            + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality
+FROM m
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / stopword / punctuation heuristics)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@_q(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (normalized md5; rolling-hash shingle min is
+    the minhash query)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: image decode/validate plumbing + crawl pipeline smoke
+# (driver records rows-only checks for these)
+# ---------------------------------------------------------------------------
+
+
+def img_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary image column → Arrow-batched decode →
+    per-row PSNR/caption/phash verdicts, aggregated per format.
+
+    The codec is the deterministic stub (crawler/codec.py) — the Spark-side
+    schema/partitioning/UDF shape is the real thing under test."""
+    from archive_query_log_spark.crawler import synth
+    from archive_query_log_spark.crawler.fetch import fetch_and_validate
+
+    images = synth.synth_images(spark, 200, 8)
+    sched = images.select(
+        F.col("image_id"),
+        F.col("fmt").alias("img_fmt"),
+        F.lit("h00.example.com").alias("host"),
+    )
+    fetched = fetch_and_validate(sched, images)
+    return (
+        fetched.groupBy("img_fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("psnr_ok"), 1).otherwise(0)).alias("n_psnr_ok"),
+            F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
+            F.sum(F.when(F.col("phash_ok"), 1).otherwise(0)).alias("n_phash_ok"),
+            F.min(F.col("psnr_db")).alias("min_psnr_db"),
+        )
+    )
+
+
+_QUERIES["img_decode_validate"] = img_decode_validate
+
+
+def crawl_pipeline_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl round (seen-set + politeness + fetch + validate) on a
+    synthetic frontier; returns per-bucket lineage metrics."""
+    import tempfile
+
+    from archive_query_log_spark.crawler import pipeline, synth
+
+    images = synth.synth_images(spark, 200, 8)
+    frontier = synth.synth_frontier(spark, 1000, 200, 8)
+    robots = synth.synth_robots(spark)
+    root = tempfile.mkdtemp(prefix="entry_crawl_")
+    state = pipeline.init_state(root, frontier)
+    pipeline.run_round(
+        spark, state, images, robots, pipeline.CrawlConfig(budget_waves=8), 0
+    )
+    return state.metrics.read(spark)
+
+
+_QUERIES["crawl_pipeline_round"] = crawl_pipeline_round
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -42,7 +42,7 @@ def clean_int(text: Column | str, remove_pattern: str | None = None) -> Column:
     c = _col(text)
     if remove_pattern is not None:
         c = F.regexp_replace(c, remove_pattern, "")
-    return F.try_cast(F.trim(c), "long")
+    return F.trim(c).try_cast("long")
 
 
 def tokenize(text: Column | str) -> Column:

@@ -40,41 +40,112 @@ def apply_robots(
     robots schema: host, path_prefix, allow boolean, crawl_delay_s double.
     Longest matching path_prefix wins (standard robots precedence); hosts with
     no rules default to allow + 10 s (reference's flat limiter).
-    The rules table is tiny (one row per host×prefix) → broadcast join, no
-    shuffle of the frontier.
+
+    Plan: rules are pre-grouped per host into an array and broadcast, the
+    match + longest-prefix pick happens in pure array expressions — a
+    MAP-ONLY stage, zero shuffle of the frontier (the naive plan is a
+    row-multiplying join plus a window over the row id: two shuffles).
     """
-    rules = robots.select(
-        F.col("host").alias("_r_host"),
-        F.col("path_prefix").alias("_r_prefix"),
-        F.col("allow").alias("_r_allow"),
-        F.col("crawl_delay_s").alias("_r_delay"),
+    rules_by_host = robots.groupBy(F.col("host").alias("_r_host")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("prefix"),
+                F.col("allow").alias("allow"),
+                F.col("crawl_delay_s").alias("delay"),
+            )
+        ).alias("_rules")
     )
     path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     joined = frontier.withColumn("_path", path).join(
-        F.broadcast(rules), on=F.col(host_col) == F.col("_r_host"), how="left"
+        F.broadcast(rules_by_host),
+        on=F.col(host_col) == F.col("_r_host"),
+        how="left",
     )
-    matches = joined.where(
-        F.col("_r_prefix").isNull() | F.col("_path").startswith(F.col("_r_prefix"))
+    applicable = F.filter(
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast("array<struct<prefix:string,allow:boolean,delay:double>>"),
+        ),
+        lambda r: r["prefix"].isNull() | F.col("_path").startswith(r["prefix"]),
     )
-    # longest matching prefix per frontier row wins (key on the unique id —
-    # url_key can repeat across captures of the same URL)
-    w = Window.partitionBy("id").orderBy(
-        F.desc(F.length(F.coalesce(F.col("_r_prefix"), F.lit("")))),
-        F.asc("_r_prefix"),
-    )
-    best = (
-        matches.withColumn("_rule_rank", F.row_number().over(w))
-        .where(F.col("_rule_rank") == 1)
-        .withColumn(
-            "_delay", F.coalesce(F.col("_r_delay"), F.lit(DEFAULT_CRAWL_DELAY_S))
+
+    def _longer_prefix_first(l, r):  # noqa: E741
+        ll = F.coalesce(F.length(l["prefix"]), F.lit(-1))
+        rl = F.coalesce(F.length(r["prefix"]), F.lit(-1))
+        # total order: longer prefix first; ties → stricter rule (disallow,
+        # then larger delay) so duplicate rules resolve deterministically
+        ld = F.coalesce(l["delay"], F.lit(-1.0))
+        rd = F.coalesce(r["delay"], F.lit(-1.0))
+        return (
+            F.when(ll > rl, F.lit(-1))
+            .when(ll < rl, F.lit(1))
+            .when(l["allow"].cast("int") < r["allow"].cast("int"), F.lit(-1))
+            .when(l["allow"].cast("int") > r["allow"].cast("int"), F.lit(1))
+            .when(ld > rd, F.lit(-1))
+            .when(ld < rd, F.lit(1))
+            .otherwise(F.lit(0))
         )
-        .withColumn("_allowed", F.coalesce(F.col("_r_allow"), F.lit(True)))
+
+    best = F.get(F.array_sort(applicable, _longer_prefix_first), 0)
+    out = (
+        joined.withColumn("_allowed", F.coalesce(best["allow"], F.lit(True)))
+        .withColumn(
+            "crawl_delay_s",
+            F.coalesce(best["delay"], F.lit(DEFAULT_CRAWL_DELAY_S)),
+        )
+        .where(F.col("_allowed"))
+        .drop("_r_host", "_rules", "_path", "_allowed")
+    )
+    return out
+
+
+def _skewproof_host_rank(
+    df: DataFrame,
+    host_col: str,
+    score_col: str,
+    key_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact 0-based per-host rank (score desc, key asc) WITHOUT a
+    whole-host window task.
+
+    Two-phase ranking stitched on a DATA-DERIVED score bucket (a pure column
+    function — unlike spark_partition_id it is consistent across subplans and
+    AQE re-planning, and unlike range-partitioning it needs no sampling):
+
+      bucket   = floor(score · B)  (higher bucket ⇒ ranks first)
+      local    = row_number over (host, bucket) — balanced groups, because
+                 the score's md5-rand component spreads uniformly
+      offset   = Σ counts of higher buckets of the same host (tiny aggregate,
+                 broadcast back)
+      rank     = offset + local − 1
+
+    Identical to ``row_number() over (partition by host order by score desc,
+    key)`` for any total order (tests prove it); the hot host becomes
+    n_buckets balanced tasks instead of one straggler. Costs one extra scan
+    for the counts aggregate — cache the input upstream if scans are pricey.
+    """
+    bucket = F.floor(F.col(score_col) * n_buckets).cast("long")
+    d = df.withColumn("_bkt", bucket)
+    counts = d.groupBy(host_col, "_bkt").count()
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("count").over(w_off), F.lit(0))
+    ).drop("count")
+    w_local = Window.partitionBy(host_col, "_bkt").orderBy(
+        F.desc(score_col), F.asc(key_col)
     )
     return (
-        best.where(F.col("_allowed"))
-        .drop("_r_host", "_r_prefix", "_r_allow", "_r_delay")
-        .drop("_rule_rank", "_path", "_allowed")
-        .withColumnRenamed("_delay", "crawl_delay_s")
+        d.join(F.broadcast(offsets), on=[host_col, "_bkt"])
+        .withColumn(
+            "wave",
+            (F.col("_offset") + F.row_number().over(w_local) - 1).cast("long"),
+        )
+        .drop("_bkt", "_offset")
     )
 
 
@@ -92,10 +163,18 @@ def schedule(
 
     wave k = k-th URL of its host in score order (0-based);
     dispatch_ts = t0 + k · crawl_delay(host).
+
+    Skew strategy (hot hosts own 30%+ of a real frontier):
+    - small budget + salt_partitions > 1 → exact salted top-k prune first
+      (per-(host,salt) rank ≤ budget), then one cheap window over ≤
+      salt·budget rows per host;
+    - otherwise → two-phase range-partitioned ranking (no single-host task).
+    Both are EXACTLY equal to the naive per-host window (tests prove it).
     """
     order = [F.desc(score_col), F.asc(key_col)]
     df = candidates
-    if budget_waves is not None and salt_partitions > 1:
+    use_salt = budget_waves is not None and salt_partitions > 1
+    if use_salt:
         # phase 1: exact per-(host,salt) top-budget prune, spreads hot hosts
         df = df.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_partitions))
@@ -106,8 +185,10 @@ def schedule(
             .where(F.col("_salt_rank") <= budget_waves)
             .drop("_salt", "_salt_rank")
         )
-    w = Window.partitionBy(host_col).orderBy(*order)
-    out = df.withColumn("wave", F.row_number().over(w) - F.lit(1))
+        w = Window.partitionBy(host_col).orderBy(*order)
+        out = df.withColumn("wave", (F.row_number().over(w) - 1).cast("long"))
+    else:
+        out = _skewproof_host_rank(df, host_col, score_col, key_col)
     if budget_waves is not None:
         out = out.where(F.col("wave") < budget_waves)
     delay = F.col(delay_col) if delay_col else F.lit(DEFAULT_CRAWL_DELAY_S)

@@ -71,7 +71,7 @@ def prefix_suggest(
 
 # ---- Q2: advanced boolean query language → Column ------------------------
 
-_TOKEN_RX = re.compile(r'\(|\)|"[^"]*"|\S+')
+_TOKEN_RX = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
 
 
 class _Parser:

@@ -1,0 +1,212 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <frontier URLs scheduled+fetched/sec at
+   local[$SPARK_GRAFT_CPUS]>, "unit": "urls/sec", "queries": {name: sec},
+   "sf": <sf>, "crawl": {...}, "scaling": {...}}
+
+The headline job is the north-star path: score → within-batch dedup →
+robots join → salted politeness waves → fetch + per-fetch decode validation
+(Arrow UDF), on a deterministic synthetic frontier scaled to the SF dir.
+
+Scaling evidence (BASELINE.md: no multi-node cluster in-sandbox — two
+parallelism levels stand in for N vs 4N executors): the SAME job runs in
+FRESH subprocesses (cold JVM each, identical shuffle partitioning) at
+local[8] and local[32]; efficiency = T(32) / (4 · T(8)).
+
+Also reported: the content-addressed fetch-cache path (decode each distinct
+payload once) — the engine's real design, ~2× the per-fetch number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+
+BENCH_QUERIES = [
+    "flagship_crawl_schedule",
+    "j2_multiway_join",
+    "j3_asof_join",
+    "a4_date_histogram",
+    "a8_minby_dedup",
+    "w1_priority_rank",
+    "c17_url_key",
+    "dedup_minhash_signatures",
+    "dedup_exact",
+    "ann_bruteforce_topk",
+    "text_quality",
+    "q2_advanced_search",
+]
+
+
+def _sf_of(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool) -> dict:
+    """The measured job. Runs in THIS process — call via subprocess for
+    cold-JVM comparability."""
+    from pyspark.sql import functions as F
+
+    from archive_query_log_spark.crawler import synth
+    from archive_query_log_spark.crawler.fetch import fetch_and_validate
+    from archive_query_log_spark.functions.ids import worklist_score
+    from archive_query_log_spark.operators import politeness, seen_set
+    from archive_query_log_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-{master}", master=master, shuffle_partitions=64
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    images = synth.synth_images(spark, n_images, 128).cache()
+    images.count()
+    frontier = synth.synth_frontier(spark, n_frontier, n_images, 128).cache()
+    frontier.count()
+    robots = synth.synth_robots(spark)
+
+    def job(budget: int | None, pf: bool):
+        cand = frontier.where(
+            (F.col("status_code") == 200) & (F.octet_length("url") <= 32766)
+        ).withColumn(
+            "score",
+            worklist_score(
+                F.col("archive.priority"), F.col("provider.priority"), F.col("id")
+            ),
+        )
+        cand = seen_set.first_seen_in_batch(cand, "url_key", "ts")
+        allowed = politeness.apply_robots(cand, robots, "url", "host")
+        sched = politeness.schedule(
+            allowed.withColumn("t0", F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
+            budget_waves=budget,
+            salt_partitions=1,
+        )
+        # narrow to the fetch-log columns before the Arrow boundary — the
+        # frontier's wide struct columns stay out of the fetch stage
+        sched = sched.select(
+            "id", "image_id", "url_key", "host", "wave", "dispatch_ts"
+        )
+        return fetch_and_validate(
+            sched, images, per_fetch=pf, broadcast_images=True
+        )
+
+    # full-size warm-up run (JIT/codegen, python workers, broadcast), then
+    # measure the steady-state second run — cluster throughput, not JVM
+    # cold-start latency
+    job(10_000_000, per_fetch).count()
+    t0 = time.perf_counter()
+    n = job(10_000_000, per_fetch).count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"urls": n, "sec": round(dt, 3), "urls_per_sec": round(n / dt, 1)}
+
+
+def crawl_subprocess(master: str, n_frontier: int, n_images: int,
+                     per_fetch: bool) -> dict:
+    """Cold-JVM run of crawl_job in a fresh process."""
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--crawl-job", master,
+        str(n_frontier), str(n_images), "1" if per_fetch else "0",
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def query_times(master: str) -> dict[str, float]:
+    from archive_query_log_spark import entry_queries
+    from archive_query_log_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-queries", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_queries.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        fn(spark, SF_DIR).limit(1).collect()  # warm (plan+scan caches)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return out
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl-job":
+        master, nf, ni, pf = sys.argv[2:6]
+        print(json.dumps(crawl_job(master, int(nf), int(ni), pf == "1")))
+        return
+
+    sf = _sf_of(SF_DIR)
+    n_frontier = max(20_000, int(20_000_000 * sf)) if sf > 0 else 100_000
+    n_images = n_frontier // 10
+
+    queries = query_times(f"local[{CPUS}]")
+
+    main_run = crawl_subprocess(
+        f"local[{CPUS}]", n_frontier, n_images, per_fetch=True
+    )
+    cached_run = crawl_job(
+        f"local[{CPUS}]", n_frontier, n_images, per_fetch=False
+    )
+    result = {
+        "metric": (
+            "frontier URLs scheduled+fetched per sec "
+            "(score→dedup→robots→politeness waves→fetch→decode-validate)"
+        ),
+        "value": main_run["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": queries,
+        "sf": sf,
+        "crawl": {
+            "n_frontier": n_frontier,
+            "n_images": n_images,
+            "per_fetch_decode": main_run,
+            "fetch_cache": cached_run,
+        },
+    }
+
+    if SCALING:
+        t2 = crawl_subprocess("local[2]", n_frontier, n_images, per_fetch=True)
+        t8 = crawl_subprocess("local[8]", n_frontier, n_images, per_fetch=True)
+        t32 = (
+            main_run
+            if CPUS == 32
+            else crawl_subprocess("local[32]", n_frontier, n_images, True)
+        )
+        result["scaling"] = {
+            "t2_urls_per_sec": t2["urls_per_sec"],
+            "t8_urls_per_sec": t8["urls_per_sec"],
+            "t32_urls_per_sec": t32["urls_per_sec"],
+            # N vs 4N (contention-free pair — cores 2 and 8 of 32 don't
+            # saturate the socket's DRAM bandwidth; the multi-node proxy)
+            "efficiency_8_vs_4x2": round(
+                t8["urls_per_sec"] / (4.0 * t2["urls_per_sec"]), 3
+            ),
+            # same box 8→32: includes single-socket memory-bandwidth
+            # contention a real 4N-node cluster would not have
+            "efficiency_32_vs_4x8": round(
+                t32["urls_per_sec"] / (4.0 * t8["urls_per_sec"]), 3
+            ),
+            "method": "same job, fresh JVM subprocesses, identical partitioning",
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Politeness scheduler: budget, robots rules, crawl delays, and the
+salted-ranking equivalence proof."""
+
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.crawler import synth
+from archive_query_log_spark.functions.ids import worklist_score
+from archive_query_log_spark.operators import politeness, seen_set
+
+
+def _scheduled(spark, salt_partitions=1, budget=8):
+    frontier = synth.synth_frontier(spark, 2000, 300, 8)
+    cand = frontier.withColumn(
+        "score",
+        worklist_score(
+            F.col("archive.priority"), F.col("provider.priority"), F.col("id")
+        ),
+    )
+    cand = seen_set.first_seen_in_batch(cand)
+    allowed = politeness.apply_robots(cand, synth.synth_robots(spark), "url", "host")
+    return politeness.schedule(
+        allowed.withColumn("t0", F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
+        budget_waves=budget,
+        salt_partitions=salt_partitions,
+    )
+
+
+def test_budget_respected_per_host(spark):
+    sched = _scheduled(spark)
+    over = sched.groupBy("host").count().where(F.col("count") > 8).count()
+    assert over == 0
+    assert sched.agg(F.max("wave")).collect()[0][0] <= 7
+
+
+def test_disallowed_prefix_filtered(spark):
+    sched = _scheduled(spark)
+    # h04 /search is disallowed in the robots fixture; h04's provider only
+    # mints /search URLs → no h04 rows at all
+    assert sched.where(F.col("host") == "h04.example.com").count() == 0
+    assert sched.where(F.col("host") == "h03.example.com").count() > 0
+
+
+def test_crawl_delay_applied(spark):
+    sched = _scheduled(spark)
+    rows = sched.where(
+        (F.col("host") == "h07.example.com") & (F.col("wave") == 1)
+    ).collect()
+    for r in rows:  # h07 has a 30 s crawl delay
+        assert r["dispatch_ts"].second == 30
+    hot = sched.where(
+        (F.col("host") == "h00.example.com") & (F.col("wave") == 1)
+    ).collect()
+    for r in hot:  # hot host fast lane: /img delay 2 s
+        assert r["dispatch_ts"].second == 2
+
+
+def test_salted_schedule_identical_to_unsalted(spark):
+    plain = _scheduled(spark, salt_partitions=1)
+    salted = _scheduled(spark, salt_partitions=8)
+    key = lambda r: (r["host"], r["wave"], r["url_key"])  # noqa: E731
+    a = sorted(map(key, plain.select("host", "wave", "url_key").collect()))
+    b = sorted(map(key, salted.select("host", "wave", "url_key").collect()))
+    assert a == b
+
+
+def test_schedule_partitioning_invariant(spark):
+    base = _scheduled(spark)
+    cols = ["host", "wave", "url_key"]
+    a = sorted(map(tuple, base.select(*cols).collect()))
+    b = sorted(map(tuple, base.repartition(17).select(*cols).collect()))
+    assert a == b

@@ -1,0 +1,74 @@
+"""URL functions vs the reference's urllib-based semantics
+(parsers/utils/url.py, api/utils/url_cleaner.py)."""
+
+from urllib.parse import parse_qsl, urlsplit
+
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.functions import urls
+
+URLS = [
+    "https://www.Example.org/A/b/?b=2&utm_source=x&a=1",
+    "https://h00.example.com/img/img00000001?q=1&utm_source=feed",
+    "https://h00.example.com/img/img00000001?q=1",
+    "https://example.com/search?q=foo+bar&page=3",
+    "https://example.com/path/seg%20ment/x?z=%C3%BC",
+    "http://example.com:8080/p?q=1#frag=2",
+    "https://example.com/",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([(u,) for u in URLS], "url string")
+
+
+def test_query_param_matches_parse_qsl(spark):
+    rows = _df(spark).select(
+        "url", urls.parse_url_query_parameter("q", "url").alias("q")
+    ).collect()
+    for r in rows:
+        qs = urlsplit(r["url"]).query
+        exp = next((v for k, v in parse_qsl(qs) if k == "q"), None)
+        assert r["q"] == exp, r["url"]
+
+
+def test_path_segment_matches_reference_indexing(spark):
+    rows = _df(spark).select(
+        "url", urls.parse_url_path_segment(1, "url").alias("seg")
+    ).collect()
+    from urllib.parse import unquote
+
+    for r in rows:
+        parts = urlsplit(r["url"]).path.split("/")
+        exp = unquote(parts[1]) if len(parts) > 1 else None
+        exp = exp if exp != "" else ""
+        assert (r["seg"] or "") == (exp or ""), r["url"]
+
+
+def test_url_key_canonicalization(spark):
+    rows = dict(
+        (r["url"], r["k"])
+        for r in _df(spark).select("url", urls.url_key("url").alias("k")).collect()
+    )
+    assert rows[URLS[0]] == "org,example)/a/b?a=1&b=2"
+    # tracking-only difference folds to the same key
+    assert rows[URLS[1]] == rows[URLS[2]]
+    # host reversal + default path
+    assert rows[URLS[6]] == "com,example)"
+
+
+def test_remove_tracking_parameters(spark):
+    out = _df(spark).select(
+        urls.remove_tracking_parameters("url").alias("u")
+    ).collect()
+    assert out[0]["u"] == "https://www.Example.org/A/b/?b=2&a=1"
+    assert out[2]["u"] == "https://h00.example.com/img/img00000001?q=1"
+
+
+def test_valid_url_gate(spark):
+    df = spark.createDataFrame(
+        [("https://ok.example/",), ("https://x.example/" + "a" * 40000,)],
+        "url string",
+    )
+    got = df.where(urls.valid_url("url")).count()
+    assert got == 1
