@@ -917,6 +917,257 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# second coverage wave: auto histogram, sums, merges, samples, compare,
+# first-match cascade, URL unfurl
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "a5_auto_histogram",
+    """
+SELECT 'week' AS interval, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket,
+       count(*) AS n
+FROM events GROUP BY 2 ORDER BY bucket
+""",
+)
+def a5_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: auto date histogram — pick the smallest calendar interval with ≤
+    target buckets (serps.py:421-428), then A4. The events fixture spans ~29
+    days → 'week' at target 20 (the oracle pins the expected pick)."""
+    from archive_query_log_spark.operators.histogram import auto_date_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    interval, hist = auto_date_histogram(ev, "ts", target_buckets=20)
+    return hist.select(F.lit(interval).alias("interval"), "bucket", "n")
+
+
+@_q(
+    "a6_sum_by_key",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def a6_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-key sums (process_stats.ipynb reduceByKey(add)); decimal sums
+    for engine-exact totals (TPC-H Q1 shape)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "a11_latest",
+    """
+SELECT event_type, max(ts) AS last_modified, max(event_id) AS max_id
+FROM events GROUP BY event_type
+""",
+)
+def a11_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: latest last_modified per index (monitoring.py:108-117)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("last_modified"), F.max("event_id").alias("max_id"))
+    )
+
+
+@_q(
+    "u1_array_merge",
+    """
+SELECT user_id,
+       list_sort(list_distinct(list(event_type))) AS merged_types,
+       list_sort(list_intersect(list_distinct(list(event_type)),
+                                ['view', 'click'])) AS vc_types
+FROM events GROUP BY user_id
+""",
+)
+def u1_array_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U4: set-union / intersection of keyword arrays — the provider
+    domain-merge semantics (providers/__init__.py:44-83)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("merged_types"),
+        F.array_sort(
+            F.array_intersect(
+                F.collect_set("event_type"),
+                F.array(F.lit("view"), F.lit("click")),
+            )
+        ).alias("vc_types"),
+    )
+
+
+@_q(
+    "o4_bernoulli_sample",
+    f"""
+SELECT event_id FROM events WHERE {md5_rand_oracle_sql("event_id", seed=11)} < 0.1
+""",
+)
+def o4_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: bernoulli sample (rdd.sample in the reference notebooks) — md5
+    thresholding keeps it deterministic and partition-invariant."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(md5_rand(F.col("event_id"), seed=11) < 0.1).select("event_id")
+
+
+@_q(
+    "q5_compare",
+    """
+SELECT user_id,
+       list_sort(list(event_type || ':' || CAST(event_id AS VARCHAR))) AS entries
+FROM events WHERE user_id IN (1, 2, 3) GROUP BY user_id
+""",
+)
+def q5_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: side-by-side compare — mget N parents + collect their children
+    (serps.py:472-519) as a sorted array."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isin(1, 2, 3))
+    entry = F.concat_ws(":", "event_type", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(entry)).alias("entries")
+    )
+
+
+_W4_URL = (
+    "CASE WHEN user_id % 3 = 0 THEN 'https://p0.example.com/search?q=term'"
+    " || CAST(event_id AS VARCHAR) || '&page=2'"
+    " WHEN user_id % 3 = 1 THEN 'https://p1.example.com/s?search=term'"
+    " || CAST(event_id AS VARCHAR)"
+    " ELSE 'https://p2.example.com/find/term' || CAST(event_id AS VARCHAR) || '/x'"
+    " END"
+)
+
+
+@_q(
+    "w4_first_match_cascade",
+    f"""
+WITH u AS (
+  SELECT event_id, user_id % 3 AS provider, {_W4_URL} AS url
+  FROM events WHERE event_id < 3000
+)
+SELECT event_id,
+       coalesce(
+         CASE WHEN provider = 0 AND url LIKE '%/search%'
+              THEN nullif(regexp_extract(url, '[?&]q=([^&#]*)', 1), '') END,
+         CASE WHEN provider = 1
+              THEN nullif(regexp_extract(url, '[?&]search=([^&#]*)', 1), '') END,
+         CASE WHEN provider = 2
+              THEN nullif(regexp_extract(url, '^[a-z]+://[^/]+/find/([^/]+)', 1), '') END
+       ) AS query
+FROM u
+""",
+)
+def w4_first_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 + §2.9: the parser-cascade shape — ordered rules, applicability =
+    provider + URL pattern, first non-null extraction wins, compiled to ONE
+    coalesce expression (parsers/url_query.py:107-174 re-expressed)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    provider = F.pmod(F.col("user_id"), F.lit(3))
+    url = (
+        F.when(
+            provider == 0,
+            F.concat(
+                F.lit("https://p0.example.com/search?q=term"),
+                F.col("event_id").cast("string"),
+                F.lit("&page=2"),
+            ),
+        )
+        .when(
+            provider == 1,
+            F.concat(
+                F.lit("https://p1.example.com/s?search=term"),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://p2.example.com/find/term"),
+                F.col("event_id").cast("string"),
+                F.lit("/x"),
+            )
+        )
+    )
+    u = ev.select("event_id", provider.alias("provider"), url.alias("url"))
+    rules = [
+        ((F.col("provider") == 0) & F.col("url").contains("/search"),
+         U.parse_url_query_parameter("q", "url")),
+        (F.col("provider") == 1, U.parse_url_query_parameter("search", "url")),
+        (F.col("provider") == 2, U.parse_url_path_segment(2, "url")),
+    ]
+    cascade = F.coalesce(
+        *[F.when(applicable, extract) for applicable, extract in rules]
+    )
+    return u.select("event_id", cascade.alias("query"))
+
+
+@_q(
+    "c10_unfurl",
+    f"""
+WITH u AS (SELECT event_id, lower({_C17_URL}) AS url FROM events WHERE event_id < 2000)
+SELECT event_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       array_to_string(list_slice(string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.'),
+           -2, len(string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.'))), '.') AS reg_domain,
+       CAST(len(list_filter(string_split(coalesce(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), ''), '/'),
+            s -> len(s) > 0)) AS INT) AS n_segments,
+       list_sort(list_transform(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+            kv -> len(kv) > 0), kv -> string_split(kv, '=')[1])) AS param_names
+FROM u
+""",
+)
+def c10_unfurl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10/C11: URL unfurl — scheme, host, registered domain (PSL-lite: last
+    two labels), path-segment count, sorted param names
+    (api/utils/url_unfurler.py:6-37)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    url = F.lower(
+        F.concat(
+            F.lit("https://WWW.H"),
+            F.pmod(F.col("user_id"), F.lit(40)).cast("string"),
+            F.lit(".Example.COM/Path/"),
+            F.col("event_id").cast("string"),
+            F.lit("/?utm_source=x&q="),
+            F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+            F.lit("&b=2"),
+        )
+    )
+    u = ev.select("event_id", url.alias("url"))
+    host = U.url_host("url")
+    labels = F.split(host, r"\.")
+    reg_domain = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    segs = F.filter(
+        F.split(F.coalesce(U.url_path("url"), F.lit("")), "/"),
+        lambda s: F.length(s) > 0,
+    )
+    param_names = F.array_sort(
+        F.transform(
+            U.query_params_array("url"), lambda kv: F.split(kv, "=")[0]
+        )
+    )
+    return u.select(
+        "event_id",
+        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("scheme"),
+        host.alias("host"),
+        reg_domain.alias("reg_domain"),
+        F.size(segs).alias("n_segments"),
+        param_names.alias("param_names"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible: image decode/validate plumbing + crawl pipeline smoke
 # (driver records rows-only checks for these)
 # ---------------------------------------------------------------------------

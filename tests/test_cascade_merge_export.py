@@ -1,0 +1,154 @@
+"""Cascade golden tests (approval-style, like the reference's
+tests/test_warc_query_parsers.py), merge semantics, export sinks, streaming."""
+
+import tempfile
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.operators import cascade, merge
+from archive_query_log_spark.sources import export
+from archive_query_log_spark.tables import SnapshotTable
+
+# golden fixture: (provider, url) → expected (query, page); approved values
+# committed here exactly like the reference's .approved.txt files
+CASCADE_GOLDEN = [
+    ("alpha", "https://a.example/search?q=hello+world&page=3", "hello world", 3),
+    ("beta", "https://b.example/s?query=%2A%2Afoo+bar&p=x7y", "foo bar", 7),
+    ("gamma", "https://c.example/find/t%C3%A9rm/4", "térm", 4),
+    ("gamma", "https://c.example/other#q=frag+query", "frag query", None),
+    ("delta", "https://d.example/x?search=fallback", "fallback", None),
+    ("alpha", "https://a.example/search?other=1", None, None),
+]
+
+
+def test_cascade_golden(spark):
+    df = spark.createDataFrame(
+        [(p, u) for p, u, _, _ in CASCADE_GOLDEN], "provider string, url string"
+    )
+    out = df.select(
+        "provider",
+        "url",
+        cascade.compile_cascade(
+            cascade.FIXTURE_QUERY_RULES, F.col("url"), F.col("provider")
+        ).alias("query"),
+        cascade.compile_cascade(
+            cascade.FIXTURE_PAGE_RULES, F.col("url"), F.col("provider"), as_int=True
+        ).alias("page"),
+    ).collect()
+    got = {(r["provider"], r["url"]): (r["query"], r["page"]) for r in out}
+    for p, u, q, pg in CASCADE_GOLDEN:
+        assert got[(p, u)] == (q, pg), (p, u)
+
+
+def test_upsert_create_if_absent(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(d + "/t")
+        b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        merge.upsert_create_if_absent(spark, t, b1, "k")
+        # replay + one new row: only the new row lands
+        b2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+        merge.upsert_create_if_absent(spark, t, b2, "k")
+        rows = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+        assert rows == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_merge_update_flags(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(d + "/t")
+        t.commit(
+            spark.createDataFrame(
+                [(1, None), (2, None)], "k long, done boolean"
+            ),
+            op="overwrite",
+        )
+        merge.merge_update(
+            spark,
+            t,
+            spark.createDataFrame([(1, True)], "k long, done boolean"),
+            "k",
+            ["done"],
+        )
+        got = {r["k"]: r["done"] for r in t.read(spark).collect()}
+        assert got == {1: True, 2: None}
+
+
+def test_merge_array_union(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = SnapshotTable(d + "/t")
+        t.commit(
+            spark.createDataFrame(
+                [("p1", ["a.com"]), ("p2", ["b.com"])],
+                "id string, domains array<string>",
+            ),
+            op="overwrite",
+        )
+        merge.merge_array_union(
+            spark,
+            t,
+            spark.createDataFrame(
+                [("p1", ["c.com", "a.com"]), ("p3", ["d.com"])],
+                "id string, domains array<string>",
+            ),
+            "id",
+            ["domains"],
+        )
+        got = {r["id"]: r["domains"] for r in t.read(spark).collect()}
+        assert got == {
+            "p1": ["a.com", "c.com"],
+            "p2": ["b.com"],
+            "p3": ["d.com"],
+        }
+
+
+def test_export_jsonl_sample_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        export.export_jsonl(df, d + "/out", n_sample=10, n_blocks=2)
+        back = export.read_jsonl(spark, d + "/out")
+        assert back.count() == 10
+        # deterministic: same sample on re-export
+        export.export_jsonl(df, d + "/out2", n_sample=10, n_blocks=2)
+        a = sorted(r["id"] for r in back.collect())
+        b = sorted(
+            r["id"] for r in export.read_jsonl(spark, d + "/out2").collect()
+        )
+        assert a == b
+
+
+def test_legacy_record_id_matches_reference_formula(spark):
+    ts = int(datetime(2023, 5, 1, tzinfo=timezone.utc).timestamp())
+    url = "https://example.com/?q=1"
+    df = spark.createDataFrame([(ts, url)], "timestamp long, url string")
+    got = df.select(
+        export.legacy_record_id(F.col("timestamp"), F.col("url")).alias("id")
+    ).collect()[0]["id"]
+    assert got == str(uuid.uuid5(uuid.NAMESPACE_URL, f"{ts}:{url}"))
+
+
+def test_streaming_available_now_dedup(spark):
+    from archive_query_log_spark.streaming.incremental import (
+        run_available_now,
+        stream_new_urls,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src, out, ckpt = d + "/src", d + "/out", d + "/ckpt"
+        df = spark.createDataFrame(
+            [
+                ("k1", datetime(2024, 1, 1, 0, 0, 0), "u1"),
+                ("k1", datetime(2024, 1, 2, 0, 0, 0), "u1b"),
+                ("k2", datetime(2024, 1, 1, 0, 0, 0), "u2"),
+            ],
+            "url_key string, ts timestamp, url string",
+        )
+        df.write.parquet(src)
+        deduped = stream_new_urls(spark, src, df.schema)
+        run_available_now(deduped, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == 2
+        assert got.select("url_key").distinct().count() == 2
+        # second drain: nothing new, exactly-once on files
+        run_available_now(stream_new_urls(spark, src, df.schema), out, ckpt)
+        assert spark.read.parquet(out).count() == 2
