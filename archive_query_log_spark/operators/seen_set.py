@@ -179,6 +179,205 @@ def bloom_probe(
     return joined.mapInPandas(probe, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Cuckoo-filter shards: the deletion-capable variant (north_rule "cuckoo
+# fallback for deletions" — Bloom bits cannot be cleared per-key).
+# Layout per shard: M buckets × 4 slots of 16-bit fingerprints (0 = empty);
+# candidate buckets i1 = h1 mod M, i2 = i1 XOR (fp · 0x5bd1e995) mod M —
+# standard partial-key cuckoo hashing. Contains/delete are vectorized numpy;
+# insert is a per-key loop with bounded eviction (build-time only).
+# ---------------------------------------------------------------------------
+
+_CK_SLOTS = 4
+_CK_MIX = 0x5BD1E995
+
+
+class CuckooShard:
+    def __init__(self, n_keys: int):
+        m = 1
+        while m * _CK_SLOTS < n_keys * 1.3:
+            m *= 2
+        self.m = max(m, 64)
+        self.table = np.zeros((self.m, _CK_SLOTS), dtype=np.uint16)
+
+    @staticmethod
+    def _fp(h1: np.ndarray) -> np.ndarray:
+        # fingerprint from the HIGH bits — the bucket index consumes the low
+        # bits (h mod m), so fp and index must come from independent bits or
+        # every same-bucket fp shares log2(m) bits and fpp explodes
+        fp = ((h1.astype(np.uint64) >> np.uint64(32)) & np.uint64(0xFFFF)).astype(
+            np.uint16
+        )
+        return np.where(fp == 0, np.uint16(1), fp)
+
+    def _i1(self, h1: np.ndarray) -> np.ndarray:
+        return (h1.astype(np.uint64) % np.uint64(self.m)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # xor with the masked mix so partner() is an involution (m = 2^k):
+        # partner(partner(i)) == i — required for the eviction walk
+        mixed = (fp.astype(np.uint64) * np.uint64(_CK_MIX)) & np.uint64(self.m - 1)
+        return (i1.astype(np.uint64) ^ mixed).astype(np.int64)
+
+    def insert_many(self, h1: np.ndarray, rng_seed: int = 7) -> None:
+        fps = self._fp(h1)
+        i1s = self._i1(h1)
+        state = np.uint64(rng_seed)
+        for fp, i1 in zip(fps, i1s):
+            fp = np.uint16(fp)
+            i = int(i1)
+            for _ in range(500):  # bounded eviction walk
+                row = self.table[i]
+                empty = np.flatnonzero(row == 0)
+                if len(empty):
+                    row[empty[0]] = fp
+                    break
+                alt = int(self._i2(np.array([i]), np.array([fp]))[0])
+                row2 = self.table[alt]
+                empty2 = np.flatnonzero(row2 == 0)
+                if len(empty2):
+                    row2[empty2[0]] = fp
+                    break
+                # evict a deterministic slot and continue from the alt bucket
+                state = (state * np.uint64(6364136223846793005) + np.uint64(1)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+                slot = int(state % np.uint64(_CK_SLOTS))
+                fp, row2[slot] = np.uint16(row2[slot]), fp
+                i = int(self._i2(np.array([alt]), np.array([fp]))[0])
+            else:
+                raise RuntimeError("cuckoo filter over capacity")
+
+    def contains_many(self, h1: np.ndarray) -> np.ndarray:
+        fps = self._fp(h1)
+        i1 = self._i1(h1)
+        i2 = self._i2(i1, fps)
+        t = self.table
+        hit1 = (t[i1] == fps[:, None]).any(axis=1)
+        hit2 = (t[i2] == fps[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def delete_many(self, h1: np.ndarray) -> int:
+        fps = self._fp(h1)
+        i1 = self._i1(h1)
+        i2 = self._i2(i1, fps)
+        deleted = 0
+        for fp, a, b in zip(fps, i1, i2):
+            for i in (int(a), int(b)):
+                row = self.table[i]
+                hits = np.flatnonzero(row == fp)
+                if len(hits):
+                    row[hits[0]] = 0
+                    deleted += 1
+                    break
+        return deleted
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, m: int) -> "CuckooShard":
+        s = cls.__new__(cls)
+        s.m = m
+        s.table = np.frombuffer(buf, dtype=np.uint16).reshape(m, _CK_SLOTS).copy()
+        return s
+
+
+def build_cuckoo_shards(
+    keys: DataFrame, key_col: str = "url_key", n_buckets: int = 32
+) -> DataFrame:
+    """Per-bucket cuckoo filters — same sharding/join pattern as Bloom, plus
+    per-key deletion support (retracted captures)."""
+    hashed = with_hashes(
+        keys.select(key_col).dropDuplicates([key_col]), key_col, n_buckets
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = CuckooShard(len(pdf))
+        shard.insert_many(pdf["_h2"].to_numpy())
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bits": [shard.to_bytes()],
+                "m": [shard.m],
+                "k": [_CK_SLOTS],
+                "n": [len(pdf)],
+            }
+        )
+
+    return hashed.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
+
+
+def cuckoo_probe(
+    batch: DataFrame,
+    shards: DataFrame,
+    key_col: str = "url_key",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Adds ``maybe_seen``; zero false negatives, same contract as Bloom."""
+    hashed = with_hashes(batch, key_col, n_buckets)
+    joined = hashed.join(F.broadcast(shards), on="bucket", how="left")
+
+    def probe(it):
+        for pdf in it:
+            pdf = pdf.reset_index(drop=True)
+            maybe = np.zeros(len(pdf), dtype=bool)
+            notna = pdf["bits"].notna()
+            if notna.any():
+                for _, grp in pdf[notna].groupby("bucket"):
+                    shard = CuckooShard.from_bytes(
+                        grp["bits"].iloc[0], int(grp["m"].iloc[0])
+                    )
+                    maybe[grp.index.to_numpy()] = shard.contains_many(
+                        grp["_h2"].to_numpy()
+                    )
+            out = pdf.drop(columns=["bits", "m", "k", "n", "_h1", "_h2"])
+            out["maybe_seen"] = maybe
+            yield out
+
+    from pyspark.sql.types import BooleanType
+
+    keep = [
+        f
+        for f in joined.schema.fields
+        if f.name not in ("bits", "m", "k", "n", "_h1", "_h2")
+    ]
+    out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
+    return joined.mapInPandas(probe, out_schema)
+
+
+def cuckoo_delete_keys(
+    shards: DataFrame,
+    retracted: DataFrame,
+    key_col: str = "url_key",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Remove retracted keys from their shards (the Bloom-impossible op);
+    returns the updated shard table."""
+    hashed = with_hashes(
+        retracted.select(key_col).dropDuplicates([key_col]), key_col, n_buckets
+    ).select("bucket", "_h2")
+    joined = shards.join(
+        hashed.groupBy("bucket").agg(F.collect_list("_h2").alias("_dels")),
+        on="bucket",
+        how="left",
+    )
+
+    def apply_deletes(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf, m = r["bits"], int(r["m"])
+                if r["_dels"] is not None and len(r["_dels"]):
+                    shard = CuckooShard.from_bytes(buf, m)
+                    shard.delete_many(np.array(r["_dels"], dtype=np.int64))
+                    buf = shard.to_bytes()
+                rows.append((int(r["bucket"]), buf, m, int(r["k"]), int(r["n"])))
+            yield pd.DataFrame(
+                rows, columns=["bucket", "bits", "m", "k", "n"]
+            )
+
+    return joined.mapInPandas(apply_deletes, SHARD_SCHEMA)
+
+
 def filtered_new(
     batch: DataFrame,
     seen: DataFrame | None,

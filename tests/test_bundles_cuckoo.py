@@ -1,0 +1,73 @@
+"""Bundle store roundtrip (S5-S8) + cuckoo-filter seen-set shards."""
+
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.crawler import synth
+from archive_query_log_spark.operators import seen_set
+from archive_query_log_spark.sources import bundles
+
+
+def test_bundle_roundtrip_and_capping(spark):
+    images = synth.synth_images(spark, 100, 4).cache()
+    with tempfile.TemporaryDirectory() as d:
+        ptrs = bundles.write_bundles(
+            images, d, n_buckets=4, max_bytes=8 * 1024
+        ).cache()
+        assert ptrs.count() == 100
+        # multiple bundle files per bucket (cap forces rollover)
+        n_files = ptrs.select("file").distinct().count()
+        assert n_files > 4
+        back = bundles.read_ranged(spark, ptrs)
+        a = {r["image_id"]: bytes(r["bytes"]) for r in back.collect()}
+        b = {
+            r["image_id"]: bytes(r["bytes"])
+            for r in images.select("image_id", "bytes").collect()
+        }
+        assert a == b
+
+
+def test_cuckoo_shard_basics():
+    keys = np.arange(1, 5000, dtype=np.int64) * 2654435761
+    shard = seen_set.CuckooShard(len(keys))
+    shard.insert_many(keys)
+    assert shard.contains_many(keys).all()  # zero false negatives
+    other = (np.arange(1, 2000, dtype=np.int64) * 40503 + 17)
+    fpp = shard.contains_many(other).mean()
+    assert fpp < 0.05
+    # delete half; deleted keys must be gone, the rest intact
+    shard.delete_many(keys[:2500])
+    assert not shard.contains_many(keys[:2500]).all()
+    assert shard.contains_many(keys[2500:]).all()
+    # serialization roundtrip
+    clone = seen_set.CuckooShard.from_bytes(shard.to_bytes(), shard.m)
+    assert clone.contains_many(keys[2500:]).all()
+
+
+def test_cuckoo_probe_and_delete_dataframe(spark):
+    keys = synth.synth_frontier(spark, 1200, 300, 4).select("url_key").distinct()
+    keys.cache()
+    shards = seen_set.build_cuckoo_shards(keys, "url_key", n_buckets=8).cache()
+    probed = seen_set.cuckoo_probe(keys, shards, "url_key", 8)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    # retract 100 keys → they must probe negative afterwards
+    retract = keys.orderBy("url_key").limit(100).cache()
+    updated = seen_set.cuckoo_delete_keys(shards, retract, "url_key", 8)
+    reprobed = seen_set.cuckoo_probe(retract, updated, "url_key", 8)
+    # cuckoo deletion is exact for inserted keys: all retracted gone unless a
+    # colliding fingerprint of ANOTHER live key sits in the same bucket
+    still = reprobed.where(F.col("maybe_seen")).count()
+    assert still <= 2  # fp-collision tolerance
+    kept = keys.join(retract, "url_key", "left_anti")
+    kept_probe = seen_set.cuckoo_probe(kept, updated, "url_key", 8)
+    assert kept_probe.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_approx_distinct_tolerance(spark):
+    ev = spark.range(50_000).select(
+        (F.col("id") % 9173).alias("u")
+    )
+    approx = ev.agg(F.approx_count_distinct("u", 0.02).alias("a")).collect()[0]["a"]
+    assert abs(approx - 9173) / 9173 < 0.05
