@@ -15,6 +15,7 @@ Everything here is built-in `pyspark.sql.functions` — no Python UDFs — so th
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -164,6 +165,27 @@ def url_key_oracle_sql(expr: str) -> str:
         f"(array_to_string(list_reverse(string_split({host}, '.')), ',') || ')' || {path}"
         f" || CASE WHEN len({params}) > 0 THEN '?' || array_to_string({params}, '&') ELSE '' END)"
     )
+
+
+def urljoin_udf():
+    """C8: resolve relative hrefs against a base URL
+    (parsers/warc_web_search_result_blocks.py:141). RFC 3986 resolution is
+    too stateful for regex → Arrow-batched pandas UDF (the sanctioned slow
+    path; used only on extracted result links, never on the frontier)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _urljoin(base: pd.Series, href: pd.Series) -> pd.Series:
+        from urllib.parse import urljoin
+
+        return pd.Series(
+            [
+                None if b is None or h is None else urljoin(b, h)
+                for b, h in zip(base, href)
+            ]
+        )
+
+    return _urljoin
 
 
 def valid_url(url: Column | str) -> Column:

@@ -65,6 +65,23 @@ def test_remove_tracking_parameters(spark):
     assert out[2]["u"] == "https://h00.example.com/img/img00000001?q=1"
 
 
+def test_urljoin_udf(spark):
+    from urllib.parse import urljoin
+
+    cases = [
+        ("https://a.example/x/y", "z"),
+        ("https://a.example/x/y", "/abs"),
+        ("https://a.example/x/y", "//other.example/p"),
+        ("https://a.example/x/y", "https://full.example/"),
+        ("https://a.example/x/", "../up"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string")
+    fn = urls.urljoin_udf()
+    rows = df.select("base", "href", fn("base", "href").alias("j")).collect()
+    for r in rows:
+        assert r["j"] == urljoin(r["base"], r["href"])
+
+
 def test_valid_url_gate(spark):
     df = spark.createDataFrame(
         [("https://ok.example/",), ("https://x.example/" + "a" * 40000,)],
