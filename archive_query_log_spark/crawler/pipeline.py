@@ -47,6 +47,11 @@ class CrawlConfig:
     n_buckets: int = 32             # seen-set shard count
     seed: int = 42
     use_bloom: bool = True
+    # re-poll clock (F2): rows fetched before now − 4 weeks become eligible
+    # again as REFRESHES (they bypass the seen-set — the reference re-polls
+    # sources with from_timestamp deltas, captures/__init__.py:28,45-50,
+    # 163-176). None disables re-polling.
+    now: str | None = None
 
 
 @dataclass
@@ -70,12 +75,18 @@ def init_state(root: str | Path, frontier_df: DataFrame) -> CrawlState:
     return state
 
 
-def candidates(frontier: DataFrame) -> DataFrame:
-    """Pending ∧ valid-URL ∧ status-200 gate (F1/F7/F8) + queue score (W1)."""
+def candidates(frontier: DataFrame, now: str | None = None) -> DataFrame:
+    """Pending ∧ valid-URL ∧ status-200 gate (F1/F7/F8); with a re-poll
+    clock, stale fetched rows re-qualify as refreshes (F2)."""
     from archive_query_log_spark.functions import urls
 
+    eligible = worklist.pending(F.col("should_fetch"))
+    if now is not None:
+        eligible = eligible | worklist.stale(
+            F.col("last_fetched"), F.to_timestamp(F.lit(now))
+        )
     return (
-        frontier.where(worklist.pending(F.col("should_fetch")))
+        frontier.where(eligible)
         .where(urls.valid_url(F.col("url")))
         .where(F.col("status_code") == 200)
     )
@@ -127,7 +138,7 @@ def run_round(
     shard_ver = _version_before_round(state.seen_shards, round_id)
     frontier = state.frontier.read(spark, version=f_ver)
 
-    cand = candidates(frontier).withColumn(
+    cand = candidates(frontier, cfg.now).withColumn(
         "score",
         worklist_score(
             F.col("archive.priority"),
@@ -137,15 +148,23 @@ def run_round(
         ),
     )
 
-    # seen-set filter: within-batch first-seen (A8) + shard/exact novelty
+    # seen-set filter: within-batch first-seen (A8) + shard/exact novelty.
+    # Stale re-polls are REFRESHES of already-seen URLs — they bypass the
+    # seen-set (the reference re-fetches sources after REFETCH_DELTA).
     cand = seen_set.first_seen_in_batch(cand, "url_key", "ts")
+    new = cand.where(worklist.pending(F.col("should_fetch")))
+    refresh = cand.where(~worklist.pending(F.col("should_fetch")))
     seen = state.seen_keys.read(spark, seen_ver) if seen_ver is not None else None
     shards = (
         state.seen_shards.read(spark, shard_ver)
         if (cfg.use_bloom and shard_ver is not None)
         else None
     )
-    fresh = seen_set.filtered_new(cand, seen, shards, "url_key", cfg.n_buckets)
+    fresh = (
+        seen_set.filtered_new(new, seen, shards, "url_key", cfg.n_buckets)
+        .withColumn("is_refresh", F.lit(False))
+        .unionByName(refresh.withColumn("is_refresh", F.lit(True)))
+    )
 
     # politeness: robots rules + salted per-host wave ranking
     allowed = politeness.apply_robots(fresh, robots, "url", "host")
@@ -161,8 +180,13 @@ def run_round(
 
     _commit_once(state.fetches, results, "append", round_id)
 
-    # seen-set update: exact keys append + bloom shard rebuild
-    new_keys = results.select("url_key").dropDuplicates(["url_key"])
+    # seen-set update: exact keys append + bloom shard rebuild (refreshes
+    # are already members — only first-time fetches extend the set)
+    new_keys = (
+        results.where(~F.col("is_refresh"))
+        .select("url_key")
+        .dropDuplicates(["url_key"])
+    )
     _commit_once(state.seen_keys, new_keys, "append", round_id)
     if cfg.use_bloom:
         all_keys = state.seen_keys.read(spark)
@@ -186,9 +210,10 @@ def run_round(
         )
         .withColumn(
             "last_fetched",
-            F.when(F.col("_fetched"), F.current_timestamp()).otherwise(
-                F.col("last_fetched")
-            ),
+            F.when(
+                F.col("_fetched"),
+                F.to_timestamp(F.lit(cfg.now)) if cfg.now else F.current_timestamp(),
+            ).otherwise(F.col("last_fetched")),
         )
         .drop("_fetched")
     )
@@ -235,9 +260,12 @@ def run(
     Resumes automatically: the next round id comes from the committed
     metrics log, so a killed ``run`` continues where it stopped."""
     stats = []
+    cfg = cfg or CrawlConfig()
     r0 = next_round_id(state)
     for r in range(r0, r0 + max_rounds):
-        n_pending = candidates(state.frontier.read(spark)).limit(1).count()
+        n_pending = (
+            candidates(state.frontier.read(spark), cfg.now).limit(1).count()
+        )
         if n_pending == 0:
             break
         stats.append(run_round(spark, state, images, robots, cfg, round_id=r))

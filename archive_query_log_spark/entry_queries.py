@@ -758,6 +758,50 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.1)
 
 
+def _lsh_pairs_oracle(num_perm: int = 8, bands: int = 4) -> str:
+    rows = num_perm // bands
+    mins = ",\n         ".join(
+        f"min(('0x' || substr(md5('{s}:' || sh), 1, 8))::UBIGINT)::BIGINT AS mh_{s}"
+        for s in range(num_perm)
+    )
+    band_exprs = ", ".join(
+        "CAST({b} AS VARCHAR) || '_' || ".format(b=b)
+        + " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+  FROM toks WHERE len(ts) >= 3
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id
+"""
+
+
+@_q("dedup_lsh_candidate_pairs", _lsh_pairs_oracle(8, 4))
+def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding end-to-end: signatures → band values → bucket
+    self-join → candidate near-dup pairs (the scale-safe alternative to
+    pairwise comparison; verified exactly by ``dedup_jaccard_pairs``)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_candidates(
+        d, "text", "doc_id", num_perm=8, bands=4, shingle_k=3
+    )
+
+
 def _simhash_oracle(bits: int = 32, seed: int = 7) -> str:
     terms = " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"

@@ -48,6 +48,34 @@ def test_crawl_converges_and_validates(spark, fixtures):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_refetch_window_repolls(spark, fixtures):
+    """F2: rows fetched > 4 weeks before `now` re-qualify as refreshes and
+    bypass the seen-set; freshly-fetched rows do not."""
+    images, frontier, robots = fixtures
+    root = tempfile.mkdtemp(prefix="t_repoll_")
+    try:
+        state = pipeline.init_state(root, frontier)
+        cfg = pipeline.CrawlConfig(budget_waves=64, now="2024-06-01 00:00:00")
+        pipeline.run(spark, state, images, robots, cfg, max_rounds=4)
+        n_after_first = state.fetches.read(spark).count()
+        # same clock → everything recently fetched → no work
+        r = pipeline.run(spark, state, images, robots, cfg, max_rounds=2)
+        assert r == [] or all(s["fetched"] == 0 for s in r)
+        # advance the clock 5 weeks → the whole crawl re-polls
+        cfg2 = pipeline.CrawlConfig(budget_waves=64, now="2024-07-06 00:00:00")
+        r2 = pipeline.run(spark, state, images, robots, cfg2, max_rounds=4)
+        assert sum(s["fetched"] for s in r2) > 0
+        fetches = state.fetches.read(spark)
+        assert fetches.count() > n_after_first
+        assert fetches.where(F.col("is_refresh")).count() > 0
+        # the seen set did NOT grow from refreshes
+        seen = state.seen_keys.read(spark)
+        assert seen.count() == seen.distinct().count()
+        assert seen.count() == fetches.where(~F.col("is_refresh")).count()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_crash_resume_exactly_once(spark, fixtures):
     images, frontier, robots = fixtures
     cfg = pipeline.CrawlConfig(budget_waves=16)

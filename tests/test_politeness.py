@@ -63,6 +63,32 @@ def test_salted_schedule_identical_to_unsalted(spark):
     assert a == b
 
 
+def test_schedule_equals_rate_limiter_simulation(spark):
+    """Oracle simulator (SURVEY §7.2.5): replay candidates through a
+    per-host 1-request-per-delay limiter (config.py:157-164 semantics, made
+    deterministic) — the declarative (wave, dispatch_ts) schedule must equal
+    the emission order and times of the imperative limiter."""
+    import datetime as dt
+    from collections import defaultdict
+
+    sched = _scheduled(spark, budget=5)
+    rows = sched.select(
+        "host", "url_key", "score", "crawl_delay_s", "wave", "dispatch_ts"
+    ).collect()
+    t0 = dt.datetime(2024, 1, 1)
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append(r)
+    for host, items in by_host.items():
+        # imperative limiter: highest score first, one emission per delay
+        items_by_score = sorted(items, key=lambda r: (-r["score"], r["url_key"]))
+        for k, r in enumerate(items_by_score):
+            assert r["wave"] == k, (host, r["url_key"])
+            # limiter emits the k-th request at t0 + k·delay
+            expected = t0 + dt.timedelta(seconds=int(k * r["crawl_delay_s"]))
+            assert r["dispatch_ts"] == expected, (host, k)
+
+
 def test_schedule_partitioning_invariant(spark):
     base = _scheduled(spark)
     cols = ["host", "wave", "url_key"]
