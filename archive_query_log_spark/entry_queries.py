@@ -850,6 +850,72 @@ ORDER BY round(sim, 4) DESC, vec_id LIMIT 20
 """
 
 
+def _near_dup_oracle(dim: int = 64, n_planes: int = 6, threshold: float = 0.2) -> str:
+    import hashlib
+
+    def hp(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:8], 16)
+        return h / 2147483648.0 - 1.0
+
+    planes = ", ".join(
+        "[" + ", ".join(repr(hp(p, d)) for d in range(dim)) + "]"
+        for p in range(n_planes)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * hp[{p + 1}][i])) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH hps AS (SELECT [{planes}] AS hp),
+s AS (
+  SELECT vec_id, embedding, {sig_terms} AS lsh
+  FROM embeddings, hps
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(generate_series(1, {dim}),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+         , 4) AS cos_sim
+  FROM s a JOIN s b ON a.lsh = b.lsh AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+@_q("ann_near_dup_pairs", _near_dup_oracle())
+def ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, candidate-gated by a shared
+    random-hyperplane LSH bucket (deterministic md5-derived planes — the
+    oracle embeds the same constants)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_pairs(
+        e, dim=64, threshold=0.2, n_planes=6, id_col="vec_id"
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only check: iterative k-means is not one SQL query):
+    deterministic centroids, nearest-probe scan, exact rerank in-cluster."""
+    from archive_query_log_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+    ]
+    return ivf_topk(e, qv, dim=64, k=10, n_centroids=8, n_probe=3)
+
+
+_QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
 @_q("ann_bruteforce_topk", _ANN_ORACLE)
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (JVM-side zip_with/aggregate dot product);

@@ -113,6 +113,92 @@ def ann_lsh_topk(
     return brute_force_topk(bucket, query_vec, k, id_col, vec_col)
 
 
+def build_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic mini-k-means: seeds = first n_centroids vectors in
+    md5(id) order; `n_iter` Lloyd steps as DataFrame jobs (assign = argmin
+    distance over broadcast centroids; update = per-cluster mean).
+
+    Centroid count is small by design (the index is metadata, rows stay
+    distributed); at 100 TB the assign step is one map-only pass per
+    iteration and the update is one groupBy.
+    """
+    from archive_query_log_spark.functions.ids import md5_rand
+
+    seeds = (
+        embeddings.orderBy(md5_rand(F.col(id_col), seed=5), F.col(id_col))
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = embeddings.select(
+            F.col(vec_col),
+            _nearest_centroid(F.col(vec_col), centroids).alias("c"),
+        )
+        means = (
+            assigned.select(
+                "c", *[F.element_at(vec_col, d + 1).alias(f"x{d}") for d in range(dim)]
+            )
+            .groupBy("c")
+            .agg(*[F.avg(f"x{d}").alias(f"x{d}") for d in range(dim)])
+            .collect()
+        )
+        for r in means:
+            centroids[int(r["c"])] = [float(r[f"x{d}"]) for d in range(dim)]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||v - c||² as a when-chain over squared distances."""
+    dists = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) ** 2)
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    best = F.least(*dists)
+    chain = F.when(dists[0] == best, F.lit(0))
+    for i in range(1, len(dists)):
+        chain = chain.when(dists[i] == best, F.lit(i))
+    return chain.cast("int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: scan only the n_probe clusters nearest to the query, exact
+    cosine rerank inside them. At scale the cluster id is a stored,
+    partition-pruning column (write-time assignment)."""
+    import numpy as np
+
+    centroids = centroids or build_ivf_centroids(
+        embeddings, dim, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    probes = sorted(np.argsort(d2)[:n_probe].tolist())
+    assigned = embeddings.withColumn(
+        "_c", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    bucket = assigned.where(F.col("_c").isin(probes)).drop("_c")
+    return brute_force_topk(bucket, query_vec, k, id_col, vec_col)
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

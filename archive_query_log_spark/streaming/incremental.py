@@ -35,6 +35,68 @@ def stream_new_urls(
     return stream.withWatermark(ts_col, watermark).dropDuplicates([key_col])
 
 
+def stateful_politeness_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    t0: str = "2024-01-01 00:00:00",
+    delay_s: float = 10.0,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): a
+    per-host politeness emitter whose state is the host's next wave number —
+    URLs arriving across micro-batches keep receiving strictly increasing
+    waves/dispatch times per host, exactly like the batch scheduler but over
+    an unbounded stream. The brief's 'custom stateful operator' slot."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("host", StringType(), False),
+            StructField("url_key", StringType(), False),
+            StructField("wave", IntegerType(), False),
+            StructField("dispatch_ts", TimestampType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("next_wave", LongType(), False)])
+    t0_dt = dt.datetime.fromisoformat(t0)
+
+    def emit(key, pdf_iter, state: GroupState):
+        (host,) = key
+        k = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("url_key")
+            for uk in pdf["url_key"]:
+                out.append(
+                    (host, uk, k, t0_dt + dt.timedelta(seconds=k * delay_s))
+                )
+                k += 1
+        state.update((k,))
+        yield pd.DataFrame(out, columns=["host", "url_key", "wave", "dispatch_ts"])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return (
+        stream.groupBy("host")
+        .applyInPandasWithState(
+            emit, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_available_now(
     deduped: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> int:

@@ -127,6 +127,45 @@ def test_legacy_record_id_matches_reference_formula(spark):
     assert got == str(uuid.uuid5(uuid.NAMESPACE_URL, f"{ts}:{url}"))
 
 
+def test_stateful_politeness_stream(spark):
+    """Waves keep counting per host ACROSS micro-batches (state survives)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from archive_query_log_spark.streaming.incremental import (
+        run_available_now,
+        stateful_politeness_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("host", StringType(), False),
+            StructField("url_key", StringType(), False),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src, out, ckpt = d + "/src", d + "/out", d + "/ckpt"
+        b1 = spark.createDataFrame(
+            [("h1", "k1"), ("h1", "k2"), ("h2", "k3")], schema
+        )
+        b2 = spark.createDataFrame([("h1", "k4"), ("h2", "k5")], schema)
+        b1.coalesce(1).write.mode("append").parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        # maxFilesPerTrigger=1 → the two files arrive as separate batches
+        run_available_now(
+            stateful_politeness_stream(spark, src, schema), out, ckpt
+        )
+        got = {
+            (r["host"], r["url_key"]): (r["wave"], r["dispatch_ts"].second)
+            for r in spark.read.parquet(out).collect()
+        }
+        h1 = sorted(w for (h, _), (w, _) in got.items() if h == "h1")
+        h2 = sorted(w for (h, _), (w, _) in got.items() if h == "h2")
+        assert h1 == [0, 1, 2] and h2 == [0, 1]
+        # dispatch spacing = wave · 10 s
+        for (_, _), (w, sec) in got.items():
+            assert sec == (w * 10) % 60
+
+
 def test_streaming_available_now_dedup(spark):
     from archive_query_log_spark.streaming.incremental import (
         run_available_now,

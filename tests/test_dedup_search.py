@@ -81,6 +81,36 @@ def test_fuzzy_match(spark):
     assert got == {0, 1, 3}
 
 
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    from archive_query_log_spark.operators.similarity import (
+        build_ivf_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters so IVF probing is meaningful
+    vecs = np.vstack(
+        [rng.normal(0, 1, (60, 8)) + 8, rng.normal(0, 1, (60, 8)) - 8]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = [float(x) for x in vecs[3]]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(df, q, k=5).collect()}
+    cents = build_ivf_centroids(df, dim=8, n_centroids=4)
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(df, q, dim=8, k=5, n_centroids=4, n_probe=2,
+                          centroids=cents).collect()
+    }
+    assert len(exact & approx) >= 4  # ≥80% recall on separated clusters
+    # determinism: same centroids on rebuild
+    assert cents == build_ivf_centroids(df, dim=8, n_centroids=4)
+
+
 def test_cosine_topk_and_lsh(spark):
     import numpy as np
 
