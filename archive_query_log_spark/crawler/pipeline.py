@@ -3,11 +3,16 @@
 One crawl *round* = one batch job (the reference's own incrementality model,
 SURVEY.md §2.11 — worklist flags, not a stream processor):
 
-    frontier ──pending∧valid∧200──▶ seen-filter (bloom shards → exact)
+    frontier(immutable) ⟕anti fetch-log ──▶ seen-filter (bloom → exact)
         ──▶ robots join ──▶ politeness schedule (salted per-host waves)
         ──▶ fetch+validate (mapInPandas over images join)
-        ──▶ commits: fetches++, seen_keys++, seen_shards (rebuilt),
-                     frontier (flags flipped), metrics++
+        ──▶ commits (append-only): fetches++, seen_keys++,
+                     seen_shards (rebuilt), metrics++
+
+The frontier is never rewritten: worklist state (fetched? when?) derives
+from the appended fetch log — the reference's in-place ES flag updates
+(orm.py should_fetch/last_fetched) would be an O(frontier) columnar rewrite
+per round at 10^10 rows.
 
 Checkpoint/resume (exactly-once): every table is a SnapshotTable and every
 round is a deterministic function of the *pre-round* snapshot versions. A
@@ -76,20 +81,55 @@ def init_state(root: str | Path, frontier_df: DataFrame) -> CrawlState:
 
 
 def candidates(frontier: DataFrame, now: str | None = None) -> DataFrame:
-    """Pending ∧ valid-URL ∧ status-200 gate (F1/F7/F8); with a re-poll
-    clock, stale fetched rows re-qualify as refreshes (F2)."""
+    """Static gates: flag-pending ∧ valid-URL ∧ status-200 (F1/F7/F8).
+
+    Fetch history is NOT read from frontier columns — the frontier is
+    immutable and worklist state derives from the append-only fetch log
+    (see ``eligible_work``): rewriting a 10^10-row frontier to flip flags
+    every round would be an O(frontier) write; an appended log row is O(1).
+    """
+    del now  # retained for signature compat; re-poll lives in eligible_work
     from archive_query_log_spark.functions import urls
 
-    eligible = worklist.pending(F.col("should_fetch"))
-    if now is not None:
-        eligible = eligible | worklist.stale(
-            F.col("last_fetched"), F.to_timestamp(F.lit(now))
-        )
     return (
-        frontier.where(eligible)
+        frontier.where(worklist.pending(F.col("should_fetch")))
         .where(urls.valid_url(F.col("url")))
         .where(F.col("status_code") == 200)
     )
+
+
+def _fetch_log(spark: SparkSession, state: CrawlState, round_id: int):
+    """(id → last fetched_at) from the append-only fetch log, at the snapshot
+    before `round_id` (replay safety)."""
+    ver = _version_before_round(state.fetches, round_id)
+    if ver is None:
+        return None
+    log = state.fetches.read(spark, ver)
+    return log.groupBy("id").agg(F.max("fetched_at").alias("_last_fetched_at"))
+
+
+def eligible_work(
+    frontier: DataFrame, fetch_log: DataFrame | None, now: str | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """(new, refresh): never-fetched rows, and — given a re-poll clock —
+    rows whose last fetch is older than REFETCH_DELTA (F2). Both derived by
+    joins against the fetch log; the frontier itself is never rewritten."""
+    base = candidates(frontier)
+    if fetch_log is None:
+        return base, None
+    new = base.join(fetch_log, on="id", how="left_anti")
+    refresh = None
+    if now is not None:
+        refresh = (
+            base.join(fetch_log, on="id", how="inner")
+            .where(
+                worklist.stale(
+                    F.col("_last_fetched_at"), F.to_timestamp(F.lit(now))
+                )
+            )
+            .drop("_last_fetched_at")
+        )
+    return new, refresh
 
 
 def _version_before_round(table: SnapshotTable, round_id: int) -> int | None:
@@ -133,38 +173,43 @@ def run_round(
     from archive_query_log_spark.functions.ids import worklist_score
 
     cfg = cfg or CrawlConfig()
-    f_ver = _version_before_round(state.frontier, round_id)
     seen_ver = _version_before_round(state.seen_keys, round_id)
     shard_ver = _version_before_round(state.seen_shards, round_id)
-    frontier = state.frontier.read(spark, version=f_ver)
+    frontier = state.frontier.read(spark)
 
-    cand = candidates(frontier, cfg.now).withColumn(
-        "score",
-        worklist_score(
-            F.col("archive.priority"),
-            F.col("provider.priority"),
-            F.col("id"),
-            seed=cfg.seed,
-        ),
-    )
+    def score(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "score",
+            worklist_score(
+                F.col("archive.priority"),
+                F.col("provider.priority"),
+                F.col("id"),
+                seed=cfg.seed,
+            ),
+        )
+
+    # worklist = frontier ⟕anti fetch-log (+ stale re-polls, F2); the
+    # frontier table is immutable — state lives in the appended log
+    new, refresh = eligible_work(frontier, _fetch_log(spark, state, round_id), cfg.now)
 
     # seen-set filter: within-batch first-seen (A8) + shard/exact novelty.
     # Stale re-polls are REFRESHES of already-seen URLs — they bypass the
     # seen-set (the reference re-fetches sources after REFETCH_DELTA).
-    cand = seen_set.first_seen_in_batch(cand, "url_key", "ts")
-    new = cand.where(worklist.pending(F.col("should_fetch")))
-    refresh = cand.where(~worklist.pending(F.col("should_fetch")))
+    new = seen_set.first_seen_in_batch(score(new), "url_key", "ts")
     seen = state.seen_keys.read(spark, seen_ver) if seen_ver is not None else None
     shards = (
         state.seen_shards.read(spark, shard_ver)
         if (cfg.use_bloom and shard_ver is not None)
         else None
     )
-    fresh = (
-        seen_set.filtered_new(new, seen, shards, "url_key", cfg.n_buckets)
-        .withColumn("is_refresh", F.lit(False))
-        .unionByName(refresh.withColumn("is_refresh", F.lit(True)))
-    )
+    fresh = seen_set.filtered_new(
+        new, seen, shards, "url_key", cfg.n_buckets
+    ).withColumn("is_refresh", F.lit(False))
+    if refresh is not None:
+        fresh = fresh.unionByName(
+            seen_set.first_seen_in_batch(score(refresh), "url_key", "ts")
+            .withColumn("is_refresh", F.lit(True))
+        )
 
     # politeness: robots rules + salted per-host wave ranking
     allowed = politeness.apply_robots(fresh, robots, "url", "host")
@@ -174,8 +219,11 @@ def run_round(
         salt_partitions=cfg.salt_partitions,
     ).drop("t0")
 
-    # fetch + validate; cache: used for fetches commit, seen update, flags
-    results = fetch_and_validate(scheduled, images)
+    # fetch + validate; cache: used for fetches commit, seen update, metrics
+    results = fetch_and_validate(scheduled, images).withColumn(
+        "fetched_at",
+        F.to_timestamp(F.lit(cfg.now)) if cfg.now else F.current_timestamp(),
+    )
     results.cache()
 
     _commit_once(state.fetches, results, "append", round_id)
@@ -200,24 +248,10 @@ def run_round(
             round_id,
         )
 
-    # frontier flag flip (the reference's last_fetched/should_fetch update)
-    fetched_ids = results.select("id").withColumn("_fetched", F.lit(True))
-    updated = (
-        frontier.join(fetched_ids, on="id", how="left")
-        .withColumn(
-            "should_fetch",
-            F.when(F.col("_fetched"), F.lit(False)).otherwise(F.col("should_fetch")),
-        )
-        .withColumn(
-            "last_fetched",
-            F.when(
-                F.col("_fetched"),
-                F.to_timestamp(F.lit(cfg.now)) if cfg.now else F.current_timestamp(),
-            ).otherwise(F.col("last_fetched")),
-        )
-        .drop("_fetched")
-    )
-    _commit_once(state.frontier, updated, "overwrite", round_id)
+    # NOTE: no frontier write — the reference flips should_fetch/last_fetched
+    # in place (an ES doc update); at 10^10 rows the columnar equivalent is a
+    # full-table rewrite per round, so worklist state derives from the
+    # appended fetch log instead (eligible_work above).
 
     # lineage + metrics per (round, host-bucket partition)
     per_bucket = (
@@ -263,8 +297,12 @@ def run(
     cfg = cfg or CrawlConfig()
     r0 = next_round_id(state)
     for r in range(r0, r0 + max_rounds):
-        n_pending = (
-            candidates(state.frontier.read(spark), cfg.now).limit(1).count()
+        frontier = state.frontier.read(spark)
+        new, refresh = eligible_work(
+            frontier, _fetch_log(spark, state, r), cfg.now
+        )
+        n_pending = new.limit(1).count() or (
+            refresh.limit(1).count() if refresh is not None else 0
         )
         if n_pending == 0:
             break

@@ -84,9 +84,11 @@ def test_crash_resume_exactly_once(spark, fixtures):
     try:
         stateA = pipeline.init_state(rootA, frontier)
         pipeline.run_round(spark, stateA, images, robots, cfg, 0)
-        # simulate a kill before the frontier flag-flip committed
-        latest = sorted(stateA.frontier.snap_dir.glob("v*.json"))[-1]
-        os.remove(latest)
+        # simulate a kill after the fetches commit but before the seen-set
+        # (and metrics) commits — the dangerous half-committed window
+        os.remove(sorted(stateA.seen_keys.snap_dir.glob("v*.json"))[-1])
+        os.remove(sorted(stateA.seen_shards.snap_dir.glob("v*.json"))[-1])
+        os.remove(sorted(stateA.metrics.snap_dir.glob("v*.json"))[-1])
         pipeline.run_round(spark, stateA, images, robots, cfg, 0)
 
         stateB = pipeline.init_state(rootB, frontier)
