@@ -237,16 +237,17 @@ def run_round(
     )
     _commit_once(state.seen_keys, new_keys, "append", round_id)
     if cfg.use_bloom:
+        bloom_cfg = seen_set.BloomConfig(n_buckets=cfg.n_buckets)
         all_keys = state.seen_keys.read(spark)
-        _commit_once(
-            state.seen_shards,
-            seen_set.build_bloom_shards(
-                all_keys, "url_key",
-                seen_set.BloomConfig(n_buckets=cfg.n_buckets),
-            ),
-            "overwrite",
-            round_id,
-        )
+        if shards is None:
+            next_shards = seen_set.build_bloom_shards(all_keys, "url_key", bloom_cfg)
+        else:
+            # incremental: OR new keys into existing bitmaps; per-bucket
+            # rebuild only on capacity overflow — O(new), not O(seen)
+            next_shards = seen_set.update_bloom_shards(
+                shards, new_keys, all_keys, "url_key", bloom_cfg
+            )
+        _commit_once(state.seen_shards, next_shards, "overwrite", round_id)
 
     # NOTE: no frontier write — the reference flips should_fetch/last_fetched
     # in place (an ES doc update); at 10^10 rows the columnar equivalent is a

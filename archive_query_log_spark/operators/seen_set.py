@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StructField,
@@ -177,6 +178,104 @@ def bloom_probe(
     ]
     out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
     return joined.mapInPandas(probe, out_schema)
+
+
+def update_bloom_shards(
+    shards: DataFrame,
+    new_keys: DataFrame,
+    all_keys: DataFrame,
+    key_col: str = "url_key",
+    cfg: BloomConfig | None = None,
+) -> DataFrame:
+    """Incremental shard maintenance: OR the new keys' bits into each
+    bucket's bitmap while its design capacity holds; buckets that would
+    exceed ``bits_per_key`` load are rebuilt from ``all_keys`` (that bucket
+    only). Rebuilding every shard from the full seen set each round — the
+    naive alternative — is an O(|seen|) pass per round and unusable at
+    10^10 keys; this path is O(|new| + rebuilt buckets).
+
+    Guarantee preserved: zero false negatives (OR only adds bits; rebuilds
+    re-insert every key of the bucket).
+    """
+    cfg = cfg or BloomConfig()
+    hashed = with_hashes(
+        new_keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets
+    )
+    adds = hashed.groupBy("bucket").agg(
+        F.collect_list(F.struct(F.col("_h1").alias("h1"), F.col("_h2").alias("h2"))).alias(
+            "_adds"
+        )
+    )
+    joined = shards.join(adds, on="bucket", how="full_outer")
+    bits_per_key = cfg.bits_per_key
+
+    out_schema = StructType(
+        list(SHARD_SCHEMA.fields)
+        + [StructField("needs_rebuild", BooleanType(), False)]
+    )
+
+    def upd(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                bucket = int(r["bucket"])
+                adds_list = r["_adds"]
+                if r["bits"] is None:
+                    # brand-new bucket → needs a real build
+                    rows.append((bucket, b"", 0, 0, 0, True))
+                    continue
+                if adds_list is None or len(adds_list) == 0:
+                    rows.append(
+                        (bucket, r["bits"], int(r["m"]), int(r["k"]), int(r["n"]), False)
+                    )
+                    continue
+                m, k, n = int(r["m"]), int(r["k"]), int(r["n"])
+                n_total = n + len(adds_list)
+                if n_total * bits_per_key > m:
+                    rows.append((bucket, b"", 0, 0, 0, True))
+                    continue
+                bits = np.frombuffer(r["bits"], dtype=np.uint8).copy()
+                h1 = np.array([a["h1"] for a in adds_list], dtype=np.int64)
+                h2 = np.array([a["h2"] for a in adds_list], dtype=np.int64)
+                pos = _bloom_positions(h1, h2, k, m).ravel()
+                np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+                rows.append((bucket, bits.tobytes(), m, k, n_total, False))
+            yield pd.DataFrame(
+                rows, columns=["bucket", "bits", "m", "k", "n", "needs_rebuild"]
+            )
+
+    updated = joined.mapInPandas(upd, out_schema)
+    updated = updated.cache()
+    rebuild = [r["bucket"] for r in updated.where("needs_rebuild").select("bucket").collect()]
+    kept = updated.where(~F.col("needs_rebuild")).drop("needs_rebuild")
+    if not rebuild:
+        return kept
+    rb_keys = with_hashes(
+        all_keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets
+    ).where(F.col("bucket").isin(rebuild))
+
+    bits_per_key_, k_, min_bits = cfg.bits_per_key, cfg.k, cfg.min_bits
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        m = max(min_bits, 1 << int(np.ceil(np.log2(max(1, n) * bits_per_key_))))
+        pos = _bloom_positions(
+            pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k_, m
+        ).ravel()
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bits": [bits.tobytes()],
+                "m": [m],
+                "k": [k_],
+                "n": [n],
+            }
+        )
+
+    rebuilt = rb_keys.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
+    return kept.unionByName(rebuilt)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,35 @@ def test_bloom_path_equals_exact_path(spark):
     assert len(a) > 0
 
 
+def test_incremental_shard_update_equals_rebuild(spark):
+    """OR-merge + selective rebuild keeps the zero-false-negative guarantee
+    and matches a from-scratch rebuild's verdicts on inserted keys."""
+    keys = synth.synth_frontier(spark, 2000, 400, 8).select("url_key").distinct()
+    keys.cache()
+    first = keys.orderBy("url_key").limit(500).cache()
+    rest = keys.join(first, "url_key", "left_anti").cache()
+    cfg = seen_set.BloomConfig(n_buckets=8, min_bits=1 << 12)
+    shards0 = seen_set.build_bloom_shards(first, "url_key", cfg).cache()
+    # incremental add of the rest (forces some capacity rebuilds:
+    # 500→~1700 keys at 16 bits/key vs 4096-bit minimum shards)
+    shards1 = seen_set.update_bloom_shards(shards0, rest, keys, "url_key", cfg)
+    shards1 = shards1.cache()
+    probed = seen_set.bloom_probe(keys, shards1, "url_key", 8)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+    # fpp sanity vs full rebuild on unseen keys
+    other = synth.synth_frontier(spark, 3000, 400, 8).select("url_key").distinct()
+    other = other.join(keys, "url_key", "left_anti").cache()
+    fp_inc = seen_set.bloom_probe(other, shards1, "url_key", 8).where(
+        F.col("maybe_seen")
+    ).count()
+    shards_full = seen_set.build_bloom_shards(keys, "url_key", cfg)
+    fp_full = seen_set.bloom_probe(other, shards_full, "url_key", 8).where(
+        F.col("maybe_seen")
+    ).count()
+    n_other = other.count()
+    assert fp_inc <= max(10, 3 * max(fp_full, 1)) and fp_inc < 0.05 * n_other
+
+
 def test_bloom_probe_no_false_negatives(spark):
     keys = synth.synth_frontier(spark, 1000, 200, 4).select("url_key").distinct()
     shards = seen_set.build_bloom_shards(keys, "url_key")
