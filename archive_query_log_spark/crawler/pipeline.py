@@ -282,6 +282,27 @@ def run_round(
     return {"round": round_id, "fetched": totals["fetched"], "ok": totals["ok"]}
 
 
+def crawl_progress(spark: SparkSession, state: CrawlState) -> DataFrame:
+    """Monitoring rollup (the reference's stage-progress API,
+    monitoring.py:258-288/458-571): per-round fetched/ok/valid counts plus
+    overall frontier coverage, from the committed metrics + fetch log."""
+    metrics = state.metrics.read(spark)
+    per_round = metrics.groupBy("round").agg(
+        F.sum("fetched").alias("fetched"),
+        F.sum("ok").alias("ok"),
+        F.sum("valid").alias("valid"),
+        F.max("max_wave").alias("max_wave"),
+    )
+    total_frontier = state.frontier.read(spark).count()
+    fetched_ids = state.fetches.read(spark).select("id").distinct().count()
+    return per_round.withColumn(
+        "frontier_total", F.lit(total_frontier)
+    ).withColumn(
+        "frontier_fetched_ratio",
+        F.round(F.lit(fetched_ids) / F.lit(max(total_frontier, 1)), 6),
+    ).orderBy("round")
+
+
 def run(
     spark: SparkSession,
     state: CrawlState,

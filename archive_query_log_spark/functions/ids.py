@@ -98,6 +98,13 @@ def memento_url(memento_api_url: Column, ts: Column, url: Column) -> Column:
     return F.concat_ws("/", memento_api_url, timestamp14(ts), url)
 
 
+def reinterpret_tz(ts: Column, wrong_tz: str = "CET") -> Column:
+    """C14: CET→UTC reinterpretation — timestamps that were *stored* as if
+    UTC but actually carry wall-clock time of `wrong_tz`
+    (imports/aql22.py:43-46): shift by the zone offset at that instant."""
+    return F.to_utc_timestamp(ts, wrong_tz)
+
+
 def md5_rand(col: Column, seed: int = 42) -> Column:
     """Deterministic, partition-invariant uniform [0,1) from a key column.
 

@@ -51,6 +51,17 @@ def test_capture_id_formula(spark):
     assert got == exp
 
 
+def test_reinterpret_tz_matches_zoneinfo(spark):
+    """C14: CET-stored-as-UTC timestamps shift by the CET offset (incl. DST)."""
+    df = spark.createDataFrame(
+        [("2023-01-15 12:00:00",), ("2023-07-15 12:00:00",)], "s string"
+    ).withColumn("ts", F.to_timestamp("s"))
+    rows = df.select("s", ids.reinterpret_tz(F.col("ts")).alias("u")).collect()
+    got = {r["s"]: r["u"].strftime("%H:%M") for r in rows}
+    assert got["2023-01-15 12:00:00"] == "11:00"  # CET = UTC+1
+    assert got["2023-07-15 12:00:00"] == "10:00"  # CEST = UTC+2
+
+
 def test_md5_rand_range_and_determinism(spark):
     df = spark.range(1000)
     r = df.select(ids.md5_rand(F.col("id")).alias("r"))

@@ -76,6 +76,21 @@ def test_refetch_window_repolls(spark, fixtures):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_crawl_progress_rollup(spark, fixtures):
+    images, frontier, robots = fixtures
+    root = tempfile.mkdtemp(prefix="t_prog_")
+    try:
+        state = pipeline.init_state(root, frontier)
+        cfg = pipeline.CrawlConfig(budget_waves=16)
+        pipeline.run(spark, state, images, robots, cfg, max_rounds=2)
+        prog = pipeline.crawl_progress(spark, state).collect()
+        assert len(prog) == 2
+        assert all(r["fetched"] == r["ok"] == r["valid"] for r in prog)
+        assert 0 < prog[0]["frontier_fetched_ratio"] <= 1.0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_crash_resume_exactly_once(spark, fixtures):
     images, frontier, robots = fixtures
     cfg = pipeline.CrawlConfig(budget_waves=16)

@@ -63,6 +63,21 @@ def test_salted_schedule_identical_to_unsalted(spark):
     assert a == b
 
 
+def test_host_without_rules_gets_defaults(spark):
+    """A host absent from the robots table is allowed with the reference's
+    default 10 s delay (config.py:157-164 parity)."""
+    frontier = spark.createDataFrame(
+        [("id1", "https://unknown.example/x", "unknown.example", "k1")],
+        "id string, url string, host string, url_key string",
+    )
+    robots = spark.createDataFrame(
+        [("other.example", None, True, 5.0)],
+        "host string, path_prefix string, allow boolean, crawl_delay_s double",
+    )
+    out = politeness.apply_robots(frontier, robots, "url", "host").collect()
+    assert len(out) == 1 and out[0]["crawl_delay_s"] == 10.0
+
+
 def test_schedule_equals_rate_limiter_simulation(spark):
     """Oracle simulator (SURVEY §7.2.5): replay candidates through a
     per-host 1-request-per-delay limiter (config.py:157-164 semantics, made
