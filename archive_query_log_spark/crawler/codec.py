@@ -121,15 +121,24 @@ def validate_row(
     caption: str, stored_phash: int,
 ) -> tuple[int, float, bool, bool, bool]:
     """(status, psnr_db, psnr_ok, caption_ok, phash_ok) for one fetch."""
+    # the whole body is guarded: any per-row corruption (bad magic, stored
+    # w/h disagreeing with the payload → shape-mismatch psnr, truncated
+    # zlib, ...) must yield a 422 verdict row, never a task failure
     try:
         dec_fmt, dw, dh, pixels = decode(buf)
+        orig = synth_pixels(image_id, w, h)
+        p = psnr(orig, pixels)
+        psnr_ok = bool(p >= PSNR_GATE_DB) if fmt == "jpeg" else bool(
+            np.array_equal(orig, pixels)
+        )
+        caption_ok = caption == synth_caption(image_id)
+        phash_ok = phash(pixels) == stored_phash
+        return (
+            200,
+            (999.0 if p == float("inf") else round(p, 3)),
+            psnr_ok,
+            caption_ok,
+            phash_ok,
+        )
     except Exception:
         return 422, 0.0, False, False, False
-    orig = synth_pixels(image_id, w, h)
-    p = psnr(orig, pixels)
-    psnr_ok = bool(p >= PSNR_GATE_DB) if fmt == "jpeg" else bool(
-        np.array_equal(orig, pixels)
-    )
-    caption_ok = caption == synth_caption(image_id)
-    phash_ok = phash(pixels) == stored_phash
-    return 200, (999.0 if p == float("inf") else round(p, 3)), psnr_ok, caption_ok, phash_ok

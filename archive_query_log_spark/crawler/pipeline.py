@@ -319,15 +319,9 @@ def run(
     cfg = cfg or CrawlConfig()
     r0 = next_round_id(state)
     for r in range(r0, r0 + max_rounds):
-        frontier = state.frontier.read(spark)
-        new, refresh = eligible_work(
-            frontier, _fetch_log(spark, state, r), cfg.now
-        )
-        n_pending = new.limit(1).count() or (
-            refresh.limit(1).count() if refresh is not None else 0
-        )
-        if n_pending == 0:
-            break
+        # no pre-probe: a probe would execute the frontier⟕anti-log plan a
+        # second time per round; an empty round is one cheap set of empty
+        # appends and terminates the loop
         stats.append(run_round(spark, state, images, robots, cfg, round_id=r))
         if stats[-1]["fetched"] == 0:
             break

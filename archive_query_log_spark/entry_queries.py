@@ -1269,7 +1269,7 @@ def c10_unfurl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return u.select(
         "event_id",
-        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("scheme"),
+        F.lower(F.try_parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("scheme"),
         host.alias("host"),
         reg_domain.alias("reg_domain"),
         F.size(segs).alias("n_segments"),

@@ -45,35 +45,41 @@ def _col(c: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    return F.lower(F.parse_url(_col(url), F.lit("HOST")))
+    return F.lower(F.try_parse_url(_col(url), F.lit("HOST")))
 
 
 def url_path(url: Column | str) -> Column:
-    return F.parse_url(_col(url), F.lit("PATH"))
+    return F.try_parse_url(_col(url), F.lit("PATH"))
 
 
 def url_query(url: Column | str) -> Column:
-    return F.parse_url(_col(url), F.lit("QUERY"))
+    return F.try_parse_url(_col(url), F.lit("QUERY"))
 
 
 def form_decode(value: Column) -> Column:
-    """application/x-www-form-urlencoded decode ('+' → space, %XX)."""
-    return F.url_decode(value)
+    """application/x-www-form-urlencoded decode ('+' → space, %XX).
+
+    try_ variant: a malformed escape ('100%') yields null for THAT row —
+    url_decode under ANSI would fail the whole task (the reference's
+    parse_qsl is lenient; per-row errors must never kill a 10^10-row job).
+    """
+    return F.try_url_decode(value)
 
 
 def percent_decode(value: Column) -> Column:
-    """urllib.parse.unquote parity: %XX only, '+' preserved."""
-    return F.url_decode(F.regexp_replace(value, r"\+", "%2B"))
+    """urllib.parse.unquote parity: %XX only, '+' preserved (null on
+    malformed escapes, same rationale as form_decode)."""
+    return F.try_url_decode(F.regexp_replace(value, r"\+", "%2B"))
 
 
 def parse_url_query_parameter(parameter: str, url: Column | str) -> Column:
     """First value of a query param, form-decoded (parsers/utils/url.py:5-9)."""
-    return form_decode(F.parse_url(_col(url), F.lit("QUERY"), F.lit(parameter)))
+    return form_decode(F.try_parse_url(_col(url), F.lit("QUERY"), F.lit(parameter)))
 
 
 def parse_url_fragment_parameter(parameter: str, url: Column | str) -> Column:
     """Param parsed out of the #fragment (parsers/utils/url.py:12-16)."""
-    frag = F.parse_url(_col(url), F.lit("REF"))
+    frag = F.try_parse_url(_col(url), F.lit("REF"))
     raw = F.regexp_extract(frag, rf"(?:^|&){parameter}=([^&]*)", 1)
     return form_decode(F.nullif(raw, F.lit("")))
 
@@ -82,7 +88,9 @@ def parse_url_path_segment(segment: int, url: Column | str) -> Column:
     """n-th '/'-segment of the path, percent-decoded
     (parsers/utils/url.py:19-27: ``path.split("/")[segment]`` then unquote —
     with a leading '/', segment=1 is the first real segment)."""
-    seg = F.element_at(F.split(url_path(url), "/"), segment + 1)
+    # try_element_at: a too-short path yields null for the row (ANSI
+    # element_at would abort the job on the first short URL)
+    seg = F.try_element_at(F.split(url_path(url), "/"), F.lit(segment + 1))
     return percent_decode(seg)
 
 
@@ -95,10 +103,14 @@ def query_params_array(url: Column | str) -> Column:
 
 
 def strip_tracking_params(params: Column) -> Column:
-    """Drop tracking params from a 'k=v' array (url_cleaner.py:31-54)."""
+    """Drop tracking params and empty '&&' artifacts from a 'k=v' array
+    (url_cleaner.py:31-54)."""
     names = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
     key_of = lambda kv: F.split(kv, "=")[0]  # noqa: E731
-    return F.filter(params, lambda kv: ~F.array_contains(names, key_of(kv)))
+    return F.filter(
+        params,
+        lambda kv: (F.length(kv) > 0) & ~F.array_contains(names, key_of(kv)),
+    )
 
 
 def remove_tracking_parameters(url: Column | str) -> Column:
@@ -107,12 +119,12 @@ def remove_tracking_parameters(url: Column | str) -> Column:
     scheme://host[:port]path[?kept_params][#fragment]
     """
     u = _col(url)
-    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    hostport = F.parse_url(u, F.lit("AUTHORITY"))
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    hostport = F.try_parse_url(u, F.lit("AUTHORITY"))
     path = F.coalesce(url_path(u), F.lit(""))
     kept = strip_tracking_params(query_params_array(u))
     qs = F.array_join(kept, "&")
-    frag = F.parse_url(u, F.lit("REF"))
+    frag = F.try_parse_url(u, F.lit("REF"))
     return F.concat(
         scheme,
         F.lit("://"),
@@ -150,9 +162,12 @@ def url_key(url: Column | str) -> Column:
 
 
 def url_key_oracle_sql(expr: str) -> str:
-    """DuckDB-SQL twin of url_key() for oracle queries (same steps)."""
+    """DuckDB-SQL twin of url_key() for oracle queries (same steps).
+
+    Host regex strips userinfo and port like Spark's parse_url(HOST)."""
     host = (
-        f"regexp_replace(lower(regexp_extract({expr}, '^[a-z]+://([^/?#]+)', 1)),"
+        f"regexp_replace(lower(regexp_extract({expr},"
+        " '^[a-z]+://(?:[^/?#@]*@)?([^/?#:]+)', 1)),"
         " '^www\\.', '')"
     )
     path = f"lower(regexp_replace(coalesce(regexp_extract({expr}, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), ''), '/+$', ''))"

@@ -7,11 +7,15 @@ and takes min-by |ts − serp_ts| with ts ≤ serp_ts (backward) and ts ≥ serp
 
 Scale design — union-merge, not join-explode: a naive equi-join on key then
 min-by distance materializes |left|×|captures-per-key| rows. Instead we union
-both sides tagged, hash-partition once on the key, sort within partitions by
-(ts, side), and take the running ``last``/``first`` non-null right payload —
-one shuffle, no row explosion, and whole-stage-codegen window evaluation.
-This is the classic sort-merge as-of plan (same as pandas.merge_asof /
-QuestDB ASOF JOIN, expressed in Spark windows).
+both sides tagged, hash-partition once on the key, sort within partitions,
+and take the running ``last``/``first`` non-null right payload — ONE shuffle,
+no row explosion (the classic sort-merge as-of plan, as in pandas.merge_asof,
+expressed in Spark windows). 'nearest' computes the backward and forward
+candidates in the SAME single pass and picks by distance (backward wins
+ties, matching the reference's keep-earlier rule).
+
+Determinism: right rows tied on (key, ts) are ordered by a hash of their
+payload, so the picked row is identical at any parallelism.
 """
 
 from __future__ import annotations
@@ -34,40 +38,15 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the nearest right row per key.
 
-    direction: 'backward' (right_ts ≤ left_ts), 'forward' (right_ts ≥ left_ts)
-    or 'nearest' (min |Δts|, backward wins ties — reference keeps the earlier
-    capture on equal distance).
-    Output: all left columns + right payload columns suffixed + ``{right_ts}{suffix}``.
+    direction: 'backward' (right_ts ≤ left_ts), 'forward' (right_ts ≥
+    left_ts), or 'nearest' (min |Δts|; backward wins ties).
+    Output: all left columns + right payload columns suffixed +
+    ``{right_ts}{suffix}``.
     """
-    keys = [on] if isinstance(on, str) else list(on)
-    if direction == "nearest":
-        b = asof_join(left, right, keys, left_ts, right_ts, "backward",
-                      right_payload, suffix)
-        f = asof_join(left, right, keys, left_ts, right_ts, "forward",
-                      right_payload, suffix + "_fwd")
-        join_cols = list(left.columns)
-        both = b.join(f, on=join_cols, how="inner")
-        ts_b = F.col(right_ts + suffix)
-        ts_f = F.col(right_ts + suffix + "_fwd")
-        d_b = F.abs(F.col(left_ts).cast("double") - ts_b.cast("double"))
-        d_f = F.abs(F.col(left_ts).cast("double") - ts_f.cast("double"))
-        use_b = ts_f.isNull() | (ts_b.isNotNull() & (d_b <= d_f))
-        payload = right_payload or [c for c in right.columns if c not in keys and c != right_ts]
-        out = both
-        for c in payload:
-            out = out.withColumn(
-                c + suffix,
-                F.when(use_b, F.col(c + suffix)).otherwise(F.col(c + suffix + "_fwd")),
-            ).drop(c + suffix + "_fwd")
-        out = out.withColumn(
-            right_ts + suffix,
-            F.when(use_b, ts_b).otherwise(ts_f),
-        ).drop(right_ts + suffix + "_fwd")
-        return out
-
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
-    payload = right_payload or [
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = right_payload if right_payload is not None else [
         c for c in right.columns if c not in keys and c != right_ts
     ]
 
@@ -77,48 +56,77 @@ def asof_join(
         F.struct(
             F.col(right_ts).alias("_rts"), *[F.col(c) for c in payload]
         ).alias("_rpay"),
-        F.lit(None).cast("string").alias("_lid"),
+        F.lit(False).alias("_is_left"),
     )
-    l_cols = [c for c in left.columns]
+    l_cols = list(left.columns)
+    l_types = {f.name: f.dataType for f in left.schema.fields}
     l = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(None).cast(r.schema["_rpay"].dataType).alias("_rpay"),
-        F.monotonically_increasing_id().cast("string").alias("_lid"),
+        F.lit(True).alias("_is_left"),
         *[F.col(c).alias(f"_l_{c}") for c in l_cols],
     )
     r = r.select(
-        *keys, "_ts", "_rpay", "_lid",
-        *[F.lit(None).cast(dict(zip(left.columns, [f.dataType for f in left.schema.fields]))[c]).alias(f"_l_{c}") for c in l_cols],
+        *keys, "_ts", "_rpay", "_is_left",
+        *[F.lit(None).cast(l_types[c]).alias(f"_l_{c}") for c in l_cols],
     )
     u = l.unionByName(r)
 
-    # at equal ts the right row must be visible to the left row:
-    # backward → right sorts first; forward → right sorts last.
+    # total order: right rows sort BEFORE left rows at equal ts (so the
+    # backward frame sees them); equal-(ts,side) right rows tie-break on a
+    # payload hash → partition-invariant pick
+    u = u.withColumn(
+        "_side", F.when(F.col("_is_left"), F.lit(1)).otherwise(F.lit(0))
+    ).withColumn("_tb", F.xxhash64(F.col("_rpay")))
+    order = [F.asc("_ts"), F.asc("_side"), F.asc("_tb")]
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+
     if direction == "backward":
-        u = u.withColumn(
-            "_side", F.when(F.col("_lid").isNull(), F.lit(0)).otherwise(F.lit(1))
+        matched = u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        # right rows at EQUAL ts must be visible forward → flip side order
+        u2 = u.withColumn(
+            "_side", F.when(F.col("_is_left"), F.lit(0)).otherwise(F.lit(1))
         )
-        w = (
+        w_fwd2 = (
             Window.partitionBy(*keys)
-            .orderBy(F.asc("_ts"), F.asc("_side"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        matched = u.withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
-    else:
-        u = u.withColumn(
-            "_side", F.when(F.col("_lid").isNull(), F.lit(1)).otherwise(F.lit(0))
-        )
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.asc("_ts"), F.asc("_side"))
+            .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_tb"))
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        matched = u.withColumn("_m", F.first("_rpay", ignorenulls=True).over(w))
+        matched = u2.withColumn(
+            "_m", F.first("_rpay", ignorenulls=True).over(w_fwd2)
+        )
+    else:  # nearest — both candidates in ONE pass over ONE shuffle
+        matched = u.withColumn(
+            "_mb", F.last("_rpay", ignorenulls=True).over(w_back)
+        ).withColumn("_mf", F.first("_rpay", ignorenulls=True).over(w_fwd))
+        # equal-ts rights sort before the left row → they land in _mb with
+        # distance 0, which always wins, so _mf missing them is harmless
+        d_b = F.abs(
+            F.col("_ts").cast("double") - F.col("_mb._rts").cast("double")
+        )
+        d_f = F.abs(
+            F.col("_ts").cast("double") - F.col("_mf._rts").cast("double")
+        )
+        use_b = F.col("_mf").isNull() | (
+            F.col("_mb").isNotNull() & (d_b <= d_f)
+        )
+        matched = matched.withColumn(
+            "_m", F.when(use_b, F.col("_mb")).otherwise(F.col("_mf"))
+        )
 
-    out = matched.where(F.col("_lid").isNotNull()).select(
+    return matched.where(F.col("_is_left")).select(
         *[F.col(f"_l_{c}").alias(c) for c in l_cols],
         *[F.col(f"_m.{c}").alias(c + suffix) for c in payload],
         F.col("_m._rts").alias(right_ts + suffix),
     )
-    return out

@@ -55,7 +55,7 @@ def apply_robots(
             )
         ).alias("_rules")
     )
-    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    path = F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
     joined = frontier.withColumn("_path", path).join(
         F.broadcast(rules_by_host),
         on=F.col(host_col) == F.col("_r_host"),

@@ -48,8 +48,37 @@ SHARD_SCHEMA = StructType(
         StructField("m", LongType(), False),
         StructField("k", IntegerType(), False),
         StructField("n", LongType(), False),
+        # the bucketing modulus is part of the filter's identity: probing
+        # with a different n_buckets than the build silently yields false
+        # negatives, so shards record it and probes derive it
+        StructField("nb", IntegerType(), False),
     ]
 )
+
+
+def _shard_n_buckets(shards: DataFrame) -> int:
+    return int(shards.select("nb").first()["nb"])
+
+
+def _bloom_build_pdf(pdf: pd.DataFrame, cfg: "BloomConfig") -> pd.DataFrame:
+    """The one shard-build closure (used by fresh builds AND rebuilds — a
+    single copy of the sizing rule keeps the two paths bit-compatible)."""
+    n = len(pdf)
+    m = max(cfg.min_bits, 1 << int(np.ceil(np.log2(max(1, n) * cfg.bits_per_key))))
+    pos = _bloom_positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), cfg.k, m)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    flat = pos.ravel()
+    np.bitwise_or.at(bits, flat // 8, (1 << (flat % 8)).astype(np.uint8))
+    return pd.DataFrame(
+        {
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "bits": [bits.tobytes()],
+            "m": [m],
+            "k": [cfg.k],
+            "n": [n],
+            "nb": [cfg.n_buckets],
+        }
+    )
 
 
 def first_seen_in_batch(
@@ -108,27 +137,12 @@ def build_bloom_shards(
     Shuffle: one hash-partition on bucket (the same partitioning the frontier
     uses, so wave-over-wave probes are co-located)."""
     cfg = cfg or BloomConfig()
-    hashed = with_hashes(keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets)
-
-    bits_per_key, k, min_bits = cfg.bits_per_key, cfg.k, cfg.min_bits
+    hashed = with_hashes(
+        keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets
+    )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        m = max(min_bits, 1 << int(np.ceil(np.log2(max(1, n) * bits_per_key))))
-        pos = _bloom_positions(
-            pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m
-        ).ravel()
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "bits": [bits.tobytes()],
-                "m": [m],
-                "k": [k],
-                "n": [n],
-            }
-        )
+        return _bloom_build_pdf(pdf, cfg)
 
     return hashed.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
 
@@ -137,7 +151,7 @@ def bloom_probe(
     batch: DataFrame,
     shards: DataFrame,
     key_col: str = "url_key",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     broadcast_shards: bool = True,
 ) -> DataFrame:
     """Adds ``maybe_seen`` (bool). False ⇒ definitely new (no false negatives).
@@ -146,6 +160,7 @@ def bloom_probe(
     default; at 10^10 keys switch to a bucket-co-partitioned join
     (broadcast_shards=False) so each executor holds only its buckets.
     """
+    n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     hashed = with_hashes(batch, key_col, n_buckets)
     s = F.broadcast(shards) if broadcast_shards else shards
     joined = hashed.join(s, on="bucket", how="left")
@@ -165,16 +180,14 @@ def bloom_probe(
                     )
                     hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
                     maybe[grp.index.to_numpy()] = hit.all(axis=1)
-            out = pdf.drop(columns=["bits", "m", "k", "n", "_h1", "_h2"])
+            out = pdf.drop(columns=["bits", "m", "k", "n", "nb", "_h1", "_h2"])
             out["maybe_seen"] = maybe
             yield out
-
-    from pyspark.sql.types import BooleanType
 
     keep = [
         f
         for f in joined.schema.fields
-        if f.name not in ("bits", "m", "k", "n", "_h1", "_h2")
+        if f.name not in ("bits", "m", "k", "n", "nb", "_h1", "_h2")
     ]
     out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
     return joined.mapInPandas(probe, out_schema)
@@ -198,16 +211,22 @@ def update_bloom_shards(
     re-insert every key of the bucket).
     """
     cfg = cfg or BloomConfig()
+    nb = _shard_n_buckets(shards)
+    if nb != cfg.n_buckets:
+        raise ValueError(
+            f"shards were built with n_buckets={nb}, update requested "
+            f"{cfg.n_buckets} — rebucketing requires a full rebuild"
+        )
     hashed = with_hashes(
         new_keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets
     )
     adds = hashed.groupBy("bucket").agg(
-        F.collect_list(F.struct(F.col("_h1").alias("h1"), F.col("_h2").alias("h2"))).alias(
-            "_adds"
-        )
+        F.collect_list(
+            F.struct(F.col("_h1").alias("h1"), F.col("_h2").alias("h2"))
+        ).alias("_adds")
     )
     joined = shards.join(adds, on="bucket", how="full_outer")
-    bits_per_key = cfg.bits_per_key
+    bits_per_key, n_buckets = cfg.bits_per_key, cfg.n_buckets
 
     out_schema = StructType(
         list(SHARD_SCHEMA.fields)
@@ -222,57 +241,50 @@ def update_bloom_shards(
                 adds_list = r["_adds"]
                 if r["bits"] is None:
                     # brand-new bucket → needs a real build
-                    rows.append((bucket, b"", 0, 0, 0, True))
+                    rows.append((bucket, b"", 0, 0, 0, n_buckets, True))
                     continue
                 if adds_list is None or len(adds_list) == 0:
                     rows.append(
-                        (bucket, r["bits"], int(r["m"]), int(r["k"]), int(r["n"]), False)
+                        (bucket, r["bits"], int(r["m"]), int(r["k"]),
+                         int(r["n"]), n_buckets, False)
                     )
                     continue
                 m, k, n = int(r["m"]), int(r["k"]), int(r["n"])
                 n_total = n + len(adds_list)
                 if n_total * bits_per_key > m:
-                    rows.append((bucket, b"", 0, 0, 0, True))
+                    rows.append((bucket, b"", 0, 0, 0, n_buckets, True))
                     continue
                 bits = np.frombuffer(r["bits"], dtype=np.uint8).copy()
                 h1 = np.array([a["h1"] for a in adds_list], dtype=np.int64)
                 h2 = np.array([a["h2"] for a in adds_list], dtype=np.int64)
                 pos = _bloom_positions(h1, h2, k, m).ravel()
                 np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
-                rows.append((bucket, bits.tobytes(), m, k, n_total, False))
+                rows.append(
+                    (bucket, bits.tobytes(), m, k, n_total, n_buckets, False)
+                )
             yield pd.DataFrame(
-                rows, columns=["bucket", "bits", "m", "k", "n", "needs_rebuild"]
+                rows,
+                columns=["bucket", "bits", "m", "k", "n", "nb", "needs_rebuild"],
             )
 
+    # `updated` is a tiny table (one row per bucket); computing it twice
+    # (rebuild-list collect + kept branch) is cheaper than pinning cached
+    # bitmap blobs in executor storage every round
     updated = joined.mapInPandas(upd, out_schema)
-    updated = updated.cache()
-    rebuild = [r["bucket"] for r in updated.where("needs_rebuild").select("bucket").collect()]
+    rebuild = [
+        r["bucket"]
+        for r in updated.where("needs_rebuild").select("bucket").collect()
+    ]
     kept = updated.where(~F.col("needs_rebuild")).drop("needs_rebuild")
     if not rebuild:
         return kept
+    # per-bucket rebuild through the SAME build closure as fresh builds
     rb_keys = with_hashes(
         all_keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets
     ).where(F.col("bucket").isin(rebuild))
 
-    bits_per_key_, k_, min_bits = cfg.bits_per_key, cfg.k, cfg.min_bits
-
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        m = max(min_bits, 1 << int(np.ceil(np.log2(max(1, n) * bits_per_key_))))
-        pos = _bloom_positions(
-            pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k_, m
-        ).ravel()
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "bits": [bits.tobytes()],
-                "m": [m],
-                "k": [k_],
-                "n": [n],
-            }
-        )
+        return _bloom_build_pdf(pdf, cfg)
 
     rebuilt = rb_keys.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
     return kept.unionByName(rebuilt)
@@ -399,6 +411,7 @@ def build_cuckoo_shards(
                 "m": [shard.m],
                 "k": [_CK_SLOTS],
                 "n": [len(pdf)],
+                "nb": [n_buckets],
             }
         )
 
@@ -409,9 +422,10 @@ def cuckoo_probe(
     batch: DataFrame,
     shards: DataFrame,
     key_col: str = "url_key",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Adds ``maybe_seen``; zero false negatives, same contract as Bloom."""
+    n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     hashed = with_hashes(batch, key_col, n_buckets)
     joined = hashed.join(F.broadcast(shards), on="bucket", how="left")
 
@@ -428,16 +442,14 @@ def cuckoo_probe(
                     maybe[grp.index.to_numpy()] = shard.contains_many(
                         grp["_h2"].to_numpy()
                     )
-            out = pdf.drop(columns=["bits", "m", "k", "n", "_h1", "_h2"])
+            out = pdf.drop(columns=["bits", "m", "k", "n", "nb", "_h1", "_h2"])
             out["maybe_seen"] = maybe
             yield out
-
-    from pyspark.sql.types import BooleanType
 
     keep = [
         f
         for f in joined.schema.fields
-        if f.name not in ("bits", "m", "k", "n", "_h1", "_h2")
+        if f.name not in ("bits", "m", "k", "n", "nb", "_h1", "_h2")
     ]
     out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
     return joined.mapInPandas(probe, out_schema)
@@ -447,10 +459,11 @@ def cuckoo_delete_keys(
     shards: DataFrame,
     retracted: DataFrame,
     key_col: str = "url_key",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Remove retracted keys from their shards (the Bloom-impossible op);
     returns the updated shard table."""
+    n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     hashed = with_hashes(
         retracted.select(key_col).dropDuplicates([key_col]), key_col, n_buckets
     ).select("bucket", "_h2")
@@ -469,9 +482,12 @@ def cuckoo_delete_keys(
                     shard = CuckooShard.from_bytes(buf, m)
                     shard.delete_many(np.array(r["_dels"], dtype=np.int64))
                     buf = shard.to_bytes()
-                rows.append((int(r["bucket"]), buf, m, int(r["k"]), int(r["n"])))
+                rows.append(
+                    (int(r["bucket"]), buf, m, int(r["k"]), int(r["n"]),
+                     int(r["nb"]))
+                )
             yield pd.DataFrame(
-                rows, columns=["bucket", "bits", "m", "k", "n"]
+                rows, columns=["bucket", "bits", "m", "k", "n", "nb"]
             )
 
     return joined.mapInPandas(apply_deletes, SHARD_SCHEMA)
@@ -482,7 +498,7 @@ def filtered_new(
     seen: DataFrame | None,
     shards: DataFrame | None,
     key_col: str = "url_key",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """The scale path: Bloom pre-filter, exact anti-join only on maybe-seen.
 

@@ -67,6 +67,26 @@ def test_nearest_prefers_backward_on_ties(spark):
     assert got == exp
 
 
+def test_nearest_keeps_null_and_duplicate_left_rows(spark):
+    """Regression: 'nearest' used to join backward/forward results on all
+    left columns — dropping rows with nulls and multiplying duplicates."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = [
+        (1, 0, base, None),               # null payload column
+        (2, 0, base, "x"),
+        (2, 0, base, "x"),                # exact duplicate row
+    ]
+    right = [(100, 0, base - dt.timedelta(minutes=1))]
+    ldf = spark.createDataFrame(left, "lid long, k long, ts timestamp, tag string")
+    rdf = spark.createDataFrame(right, "rid long, k long, ts timestamp")
+    out = asof_join(ldf, rdf, on="k", direction="nearest",
+                    right_payload=["rid"]).collect()
+    assert len(out) == 3  # every left row exactly once
+    assert all(r["rid_right"] == 100 for r in out)
+
+
 def test_left_rows_preserved(spark):
     _, _, ldf, rdf = _mk(spark)
     out = asof_join(ldf, rdf, on="k", direction="backward", right_payload=["rid"])

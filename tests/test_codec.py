@@ -46,3 +46,7 @@ def test_validate_row_verdicts():
     assert bad[0] == 200 and not bad[3]
     garbage = codec.validate_row(b"nope", iid, 32, 32, "png", "c", 0)
     assert garbage[0] == 422
+    # regression: stored w/h disagreeing with the payload (shape-mismatch
+    # psnr) must be a 422 verdict, never an exception out of the UDF
+    mismatched = codec.validate_row(buf, iid, 16, 16, "jpeg", "c", 0)
+    assert mismatched[0] == 422

@@ -65,6 +65,33 @@ def test_remove_tracking_parameters(spark):
     assert out[2]["u"] == "https://h00.example.com/img/img00000001?q=1"
 
 
+def test_malformed_escapes_yield_null_not_task_failure(spark):
+    """Regression: ANSI url_decode would abort the job on '100%'."""
+    df = spark.createDataFrame(
+        [("https://x.com/s?q=100%",), ("https://x.com/s?q=ok",)], "url string"
+    )
+    got = [
+        r["q"]
+        for r in df.select(
+            urls.parse_url_query_parameter("q", "url").alias("q")
+        ).collect()
+    ]
+    assert got == [None, "ok"]
+
+
+def test_short_path_segment_yields_null(spark):
+    """Regression: ANSI element_at would abort on paths with few segments."""
+    df = spark.createDataFrame(
+        [("https://g.example.com/find",), ("https://g.example.com/a/b/c",)],
+        "url string",
+    )
+    got = [
+        r["s"]
+        for r in df.select(urls.parse_url_path_segment(3, "url").alias("s")).collect()
+    ]
+    assert got == [None, "c"]
+
+
 def test_urljoin_udf(spark):
     from urllib.parse import urljoin
 
