@@ -189,14 +189,17 @@ def main():
     }
 
     if SCALING:
-        t2 = crawl_subprocess("local[2]", n_frontier, n_images, per_fetch=True)
-        t8 = crawl_subprocess("local[8]", n_frontier, n_images, per_fetch=True)
-        t32 = (
-            main_run
-            if CPUS == 32
-            else crawl_subprocess("local[32]", n_frontier, n_images, True)
+        # scaling trio at the FULL headline size — at half size the 8- and
+        # 32-core legs starve on fixed stage latency (measured t32 < t8) and
+        # the efficiency figure stops measuring the engine
+        n_sc = n_frontier
+        t2 = crawl_subprocess("local[2]", n_sc, n_sc // 10, per_fetch=True)
+        t8 = crawl_subprocess("local[8]", n_sc, n_sc // 10, per_fetch=True)
+        t32 = main_run if CPUS == 32 else crawl_subprocess(
+            "local[32]", n_sc, n_sc // 10, True
         )
         result["scaling"] = {
+            "n_frontier": n_sc,
             "t2_urls_per_sec": t2["urls_per_sec"],
             "t8_urls_per_sec": t8["urls_per_sec"],
             "t32_urls_per_sec": t32["urls_per_sec"],
