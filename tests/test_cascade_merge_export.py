@@ -42,6 +42,43 @@ def test_cascade_golden(spark):
         assert got[(p, u)] == (q, pg), (p, u)
 
 
+def test_cascade_join_plan_equals_coalesce_plan(spark):
+    """apply_cascade_join (the 972-rule-scale plan) must produce exactly the
+    coalesce plan's results — incl. percent decoding, fragment params,
+    remove-patterns, the any-provider fallback, and no-match nulls."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, p, u) for i, (p, u, _, _) in enumerate(CASCADE_GOLDEN)],
+        "rid long, provider string, url string",
+    )
+    a = df.select(
+        "rid",
+        cascade.compile_cascade(
+            cascade.FIXTURE_QUERY_RULES, F.col("url"), F.col("provider")
+        ).alias("query"),
+    )
+    rdf = cascade.rules_to_df(spark, cascade.FIXTURE_QUERY_RULES)
+    b = cascade.apply_cascade_join(
+        df, rdf, F.col("url"), F.col("provider"), "rid"
+    ).select("rid", "query")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # int-valued cascade too
+    ai = df.select(
+        "rid",
+        cascade.compile_cascade(
+            cascade.FIXTURE_PAGE_RULES, F.col("url"), F.col("provider"),
+            as_int=True,
+        ).alias("page"),
+    )
+    rdfp = cascade.rules_to_df(spark, cascade.FIXTURE_PAGE_RULES)
+    bi = cascade.apply_cascade_join(
+        df, rdfp, F.col("url"), F.col("provider"), "rid", out_col="page",
+        as_int=True,
+    ).select("rid", "page")
+    assert sorted(map(tuple, ai.collect())) == sorted(map(tuple, bi.collect()))
+
+
 def test_upsert_create_if_absent(spark):
     with tempfile.TemporaryDirectory() as d:
         t = SnapshotTable(d + "/t")
