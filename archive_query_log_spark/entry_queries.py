@@ -678,6 +678,104 @@ def q3_prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.prefix_suggest(_t(spark, sf_dir, "events"), "event_type", "p")
 
 
+@_q(
+    "f5_range_filter",
+    """
+SELECT event_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def f5_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: timestamp range gte/lt (api/routers/serps.py:104-110)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    ).select("event_id")
+
+
+@_q(
+    "a13_substring_share",
+    """
+SELECT count(*) AS total,
+       CAST(sum(CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS with_term,
+       round(CAST(sum(CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS share
+FROM documents
+""",
+)
+def a13_substring_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: substring-match share (scripts/analyze_operators.py:16-18 —
+    the 'site:' operator share analysis)."""
+    d = _t(spark, sf_dir, "documents")
+    hit = F.sum(F.when(F.col("text").contains("spark"), 1).otherwise(0))
+    return d.agg(
+        F.count("*").alias("total"),
+        hit.cast("long").alias("with_term"),
+        F.round(hit.cast("double") / F.count("*"), 6).alias("share"),
+    )
+
+
+@_q(
+    "q1_fuzzy_match",
+    """
+SELECT doc_id FROM documents
+WHERE len(list_filter(string_split(lower(trim(text)), ' '),
+          t -> levenshtein(t, 'querry') <= 2)) > 0
+""",
+)
+def q1_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 fuzziness=AUTO: 'querry' (6 chars → distance ≤ 2) matches 'query'
+    tokens (serps.py:147-154)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(search.match_fuzzy(F.col("text"), "querry")).select("doc_id")
+
+
+@_q(
+    "c12_url_md5",
+    f"""
+WITH u AS (SELECT event_id, lower({_C17_URL}) AS url FROM events WHERE event_id < 2000)
+SELECT event_id, md5(url) AS url_md5 FROM u
+""",
+)
+def c12_url_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: legacy md5 URL id (legacy/model.py:52-57)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    url = F.lower(
+        F.concat(
+            F.lit("https://WWW.H"),
+            F.pmod(F.col("user_id"), F.lit(40)).cast("string"),
+            F.lit(".Example.COM/Path/"),
+            F.col("event_id").cast("string"),
+            F.lit("/?utm_source=x&q="),
+            F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+            F.lit("&b=2"),
+        )
+    )
+    return ev.select("event_id", F.md5(url).alias("url_md5"))
+
+
+@_q(
+    "u2_union_streams",
+    """
+SELECT event_id, 'purchase' AS stream FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, 'error' AS stream FROM events WHERE event_type = 'error'
+""",
+)
+def u2_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: chained per-source action streams → unionByName
+    (captures/__init__.py:198-200)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.lit("purchase").alias("stream")
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        "event_id", F.lit("error").alias("stream")
+    )
+    return a.unionByName(b)
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (training-data ops)
 # ---------------------------------------------------------------------------
