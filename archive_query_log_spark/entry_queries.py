@@ -1229,6 +1229,51 @@ def o4_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q4_completion_suggest",
+    """
+WITH toks AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents
+),
+counted AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+prefixed AS (
+  SELECT substr(term, 1, p.i) AS prefix, term, freq
+  FROM counted, (SELECT unnest(generate_series(1, 6)) AS i) p
+  WHERE length(term) >= p.i
+)
+SELECT term, freq FROM prefixed WHERE prefix = 'qu'
+ORDER BY freq DESC, term LIMIT 5
+""",
+)
+def q4_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: completion suggester — the ES Completion subfield (orm.py:25-33)
+    re-expressed as a prefix-index aux table (term prefixes → terms by
+    frequency; at scale a bucketed table built once at write time), probed
+    with an equi-join/filter on the prefix."""
+    d = _t(spark, sf_dir, "documents")
+    counted = (
+        d.select(F.explode(T.tokenize(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    prefixed = counted.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("term"), F.lit(6))),
+                lambda i: F.col("term").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+        "term",
+        "freq",
+    )
+    return (
+        prefixed.where(F.col("prefix") == "qu")
+        .select("term", "freq")
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(5)
+    )
+
+
+@_q(
     "q5_compare",
     """
 SELECT user_id,
