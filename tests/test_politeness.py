@@ -25,6 +25,34 @@ def _scheduled(spark, salt_partitions=1, budget=8):
     )
 
 
+def test_scored_worklist_order_and_limit(spark):
+    """S1: pending-only, score-desc total order, batch take."""
+    from archive_query_log_spark.operators.worklist import scored_worklist
+
+    frontier = synth.synth_frontier(spark, 500, 100, 4)
+    out = scored_worklist(frontier, flag="should_fetch", limit=50)
+    rows = out.select("score", "id").collect()
+    assert len(rows) == 50
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # archive-a rows (priority 10 vs 1) must dominate the head of the queue
+    head = out.limit(10).select("archive.id").collect()
+    assert sum(1 for r in head if r["id"] == "archive-a") >= 8
+
+
+def test_validation_summary(spark):
+    from archive_query_log_spark.crawler.fetch import (
+        fetch_and_validate,
+        validation_summary,
+    )
+
+    images = synth.synth_images(spark, 50, 4)
+    sched = images.select("image_id")
+    s = validation_summary(fetch_and_validate(sched, images)).collect()[0]
+    assert s["fetched"] == 50
+    assert s["ok_200"] == s["psnr_ok"] == s["caption_ok"] == s["phash_ok"] == 50
+
+
 def test_budget_respected_per_host(spark):
     sched = _scheduled(spark)
     over = sched.groupBy("host").count().where(F.col("count") > 8).count()
