@@ -180,10 +180,15 @@ WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 4 WEEK
 def f2_refetch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: the 4-week re-poll window (captures/__init__.py:28,163-176)."""
     ev = _t(spark, sf_dir, "events")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    return ev.where(
-        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 4 WEEKS")
-    ).select("event_id", "ts")
+    # the max stays inside the plan (broadcast scalar) — a collect+re-lit
+    # roundtrip through Python datetimes shifts NTZ values in non-UTC
+    # driver sessions
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .where(F.col("ts") < F.col("_mx") - F.expr("INTERVAL 4 WEEKS"))
+        .select("event_id", "ts")
+    )
 
 
 @_q(
@@ -689,8 +694,8 @@ def f5_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: timestamp range gte/lt (api/routers/serps.py:104-110)."""
     ev = _t(spark, sf_dir, "events")
     return ev.where(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
     ).select("event_id")
 
 
