@@ -1431,6 +1431,22 @@ def c10_unfurl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 proper: approx_count_distinct (HLL, rsd 0.02 ≈ the reference's
+    precision_threshold=40000, serps.py:272-278). Rows-only check — Spark's
+    and DuckDB's HLL sketches legitimately differ; the ±5% tolerance test is
+    tests/test_bundles_cuckoo.py::test_approx_distinct_tolerance and the
+    exact twin is a2_distinct_users."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+_QUERIES["a2_approx_distinct"] = a2_approx_distinct
+
+
 def img_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary image column → Arrow-batched decode →
     per-row PSNR/caption/phash verdicts, aggregated per format.
