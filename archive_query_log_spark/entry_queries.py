@@ -1199,23 +1199,34 @@ def a11_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u1_array_merge",
     """
 SELECT user_id,
-       list_sort(list_distinct(list(event_type))) AS merged_types,
-       list_sort(list_intersect(list_distinct(list(event_type)),
-                                ['view', 'click'])) AS vc_types
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+         AS merged_types,
+       array_to_string(list_sort(list_intersect(list_distinct(list(event_type)),
+                                                ['view', 'click'])), ',')
+         AS vc_types
 FROM events GROUP BY user_id
 """,
 )
 def u1_array_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/U4: set-union / intersection of keyword arrays — the provider
-    domain-merge semantics (providers/__init__.py:44-83)."""
+    domain-merge semantics (providers/__init__.py:44-83).
+
+    The merged arrays are serialized sorted-and-comma-joined so the driver's
+    pandas canonicalizer (which cannot hash list cells) can gate the entry;
+    the sort keeps the hash order-insensitive."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("merged_types"),
-        F.array_sort(
-            F.array_intersect(
-                F.collect_set("event_type"),
-                F.array(F.lit("view"), F.lit("click")),
-            )
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "merged_types"
+        ),
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(
+                    F.collect_set("event_type"),
+                    F.array(F.lit("view"), F.lit("click")),
+                )
+            ),
+            ",",
         ).alias("vc_types"),
     )
 
@@ -1282,17 +1293,20 @@ def q4_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_compare",
     """
 SELECT user_id,
-       list_sort(list(event_type || ':' || CAST(event_id AS VARCHAR))) AS entries
+       array_to_string(
+         list_sort(list(event_type || ':' || CAST(event_id AS VARCHAR))), ','
+       ) AS entries
 FROM events WHERE user_id IN (1, 2, 3) GROUP BY user_id
 """,
 )
 def q5_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5: side-by-side compare — mget N parents + collect their children
-    (serps.py:472-519) as a sorted array."""
+    (serps.py:472-519) as a sorted array, serialized to a comma-joined
+    string so the driver's canonicalizer can hash the cell."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id").isin(1, 2, 3))
     entry = F.concat_ws(":", "event_type", "event_id")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(entry)).alias("entries")
+        F.array_join(F.array_sort(F.collect_list(entry)), ",").alias("entries")
     )
 
 

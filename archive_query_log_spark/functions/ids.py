@@ -71,6 +71,10 @@ def uuid5_from_parts(namespace: uuid.UUID, *parts: Column | str) -> Column:
     (captures/__init__.py:62-73).
     """
     cols = [F.col(p) if isinstance(p, str) else p for p in parts]
+    # concat_ws silently SKIPS null components, so (a, NULL, b) and (a, b,
+    # NULL) would both mint uuid5(ns, 'a:b') — coalesce each slot to '' so
+    # component positions are preserved and distinct entities never collide.
+    cols = [F.coalesce(c.cast("string"), F.lit("")) for c in cols]
     return uuid5_from_name(namespace, F.concat_ws(":", *cols))
 
 

@@ -44,42 +44,67 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _escape_invalid_pct(value: Column) -> Column:
+    """Lenient-parse shim: '%' not followed by two hex digits → '%25', so a
+    malformed escape ('100%') survives as a literal '%' instead of nulling
+    the value. This reproduces urllib's urlsplit/unquote/parse_qsl leniency
+    (they leave invalid escapes untouched) while staying ANSI-safe. It must
+    run BEFORE try_parse_url, not just before try_url_decode: Java's URI
+    parser rejects the ENTIRE url on one bad escape (host, path and query
+    all come back null), which would make a cascade fall through to a
+    lower-precedence rule — or drop the row — where the reference still
+    extracts a query."""
+    return F.regexp_replace(value, r"%(?![0-9A-Fa-f]{2})", "%25")
+
+
+def lenient_url(url: Column | str) -> Column:
+    """A URL made parseable by Java's strict URI parser without changing its
+    decoded meaning (invalid '%' → '%25'). All component extractors below go
+    through this."""
+    return _escape_invalid_pct(_col(url))
+
+
 def url_host(url: Column | str) -> Column:
-    return F.lower(F.try_parse_url(_col(url), F.lit("HOST")))
+    return F.lower(F.try_parse_url(lenient_url(url), F.lit("HOST")))
 
 
 def url_path(url: Column | str) -> Column:
-    return F.try_parse_url(_col(url), F.lit("PATH"))
+    return F.try_parse_url(lenient_url(url), F.lit("PATH"))
 
 
 def url_query(url: Column | str) -> Column:
-    return F.try_parse_url(_col(url), F.lit("QUERY"))
+    return F.try_parse_url(lenient_url(url), F.lit("QUERY"))
 
 
 def form_decode(value: Column) -> Column:
     """application/x-www-form-urlencoded decode ('+' → space, %XX).
 
-    try_ variant: a malformed escape ('100%') yields null for THAT row —
-    url_decode under ANSI would fail the whole task (the reference's
-    parse_qsl is lenient; per-row errors must never kill a 10^10-row job).
+    Lenient like the reference's parse_qsl: invalid %-escapes decode to a
+    literal '%' (see _escape_invalid_pct); try_ variant so any residual
+    decode error yields null for THAT row — url_decode under ANSI would fail
+    the whole task (per-row errors must never kill a 10^10-row job).
     """
-    return F.try_url_decode(value)
+    return F.try_url_decode(_escape_invalid_pct(value))
 
 
 def percent_decode(value: Column) -> Column:
-    """urllib.parse.unquote parity: %XX only, '+' preserved (null on
-    malformed escapes, same rationale as form_decode)."""
-    return F.try_url_decode(F.regexp_replace(value, r"\+", "%2B"))
+    """urllib.parse.unquote parity: %XX only, '+' preserved, invalid escapes
+    left as literal '%' (same leniency rationale as form_decode)."""
+    return F.try_url_decode(
+        F.regexp_replace(_escape_invalid_pct(value), r"\+", "%2B")
+    )
 
 
 def parse_url_query_parameter(parameter: str, url: Column | str) -> Column:
     """First value of a query param, form-decoded (parsers/utils/url.py:5-9)."""
-    return form_decode(F.try_parse_url(_col(url), F.lit("QUERY"), F.lit(parameter)))
+    return form_decode(
+        F.try_parse_url(lenient_url(url), F.lit("QUERY"), F.lit(parameter))
+    )
 
 
 def parse_url_fragment_parameter(parameter: str, url: Column | str) -> Column:
     """Param parsed out of the #fragment (parsers/utils/url.py:12-16)."""
-    frag = F.try_parse_url(_col(url), F.lit("REF"))
+    frag = F.try_parse_url(lenient_url(url), F.lit("REF"))
     raw = F.regexp_extract(frag, rf"(?:^|&){parameter}=([^&]*)", 1)
     return form_decode(F.nullif(raw, F.lit("")))
 
@@ -118,7 +143,7 @@ def remove_tracking_parameters(url: Column | str) -> Column:
 
     scheme://host[:port]path[?kept_params][#fragment]
     """
-    u = _col(url)
+    u = lenient_url(url)
     scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
     hostport = F.try_parse_url(u, F.lit("AUTHORITY"))
     path = F.coalesce(url_path(u), F.lit(""))

@@ -103,6 +103,7 @@ def _extract_generic(url: Column) -> Column:
     """One 3-branch extraction expression over DYNAMIC rule columns —
     the key to the join plan: the expression count stays constant no matter
     how many rules exist."""
+    url = U.lenient_url(url)  # same malformed-escape leniency as compile_cascade
     arg = F.col("argument")
     qp = U.form_decode(F.try_parse_url(url, F.lit("QUERY"), arg))
     frag = F.try_parse_url(url, F.lit("REF"))
@@ -163,15 +164,21 @@ def apply_cascade_join(
         F.col("remove_pattern").isNotNull(),
         F.regexp_replace(cleaned, F.col("remove_pattern"), F.lit("")),
     ).otherwise(cleaned)
-    cleaned = F.when(
-        F.col("space_pattern").isNotNull(),
-        F.regexp_replace(cleaned, F.col("space_pattern"), F.lit(" ")),
-    ).otherwise(cleaned)
-    cleaned = F.nullif(
-        F.regexp_replace(F.trim(cleaned), r"\s+", " "), F.lit("")
-    )
     if as_int:
-        cleaned = cleaned.try_cast("long")
+        # clean_int semantics exactly (parsers/utils/__init__.py:21-33 and
+        # functions.text.clean_int): remove_pattern → trim → try_cast. No
+        # space_pattern substitution and no whitespace collapse — clean_int
+        # takes no space_pattern, so an int rule carrying one must behave
+        # identically in both cascade plans.
+        cleaned = F.trim(cleaned).try_cast("long")
+    else:
+        cleaned = F.when(
+            F.col("space_pattern").isNotNull(),
+            F.regexp_replace(cleaned, F.col("space_pattern"), F.lit(" ")),
+        ).otherwise(cleaned)
+        cleaned = F.nullif(
+            F.regexp_replace(F.trim(cleaned), r"\s+", " "), F.lit("")
+        )
     hits = cand.where(applicable & cleaned.isNotNull()).select(
         F.col(id_col), cleaned.alias("_val"), F.col("rule_order")
     )

@@ -32,7 +32,13 @@ def stream_new_urls(
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
-    return stream.withWatermark(ts_col, watermark).dropDuplicates([key_col])
+    # dropDuplicatesWithinWatermark (not plain dropDuplicates) so the dedup
+    # state is actually evicted once the watermark passes: with a plain
+    # dropDuplicates([key]) the event-time column is outside the dedup subset
+    # and Spark keeps every key forever (unbounded state).
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key_col]
+    )
 
 
 def stateful_politeness_stream(

@@ -65,10 +65,14 @@ def test_remove_tracking_parameters(spark):
     assert out[2]["u"] == "https://h00.example.com/img/img00000001?q=1"
 
 
-def test_malformed_escapes_yield_null_not_task_failure(spark):
-    """Regression: ANSI url_decode would abort the job on '100%'."""
+def test_malformed_escapes_decode_leniently(spark):
+    """Regression: ANSI url_decode would abort the job on '100%'; the
+    reference's parse_qsl is lenient and keeps the literal '%'. Parity with
+    parse_qsl on messy escapes."""
+    cases = ["100%", "a%2Gb", "50%25", "x%", "%e4%b8%ad"]
     df = spark.createDataFrame(
-        [("https://x.com/s?q=100%",), ("https://x.com/s?q=ok",)], "url string"
+        [(f"https://x.com/s?q={c}",) for c in cases] + [("https://x.com/s?q=ok",)],
+        "url string",
     )
     got = [
         r["q"]
@@ -76,7 +80,11 @@ def test_malformed_escapes_yield_null_not_task_failure(spark):
             urls.parse_url_query_parameter("q", "url").alias("q")
         ).collect()
     ]
-    assert got == [None, "ok"]
+    exp = [
+        next(v for k, v in parse_qsl(f"q={c}", keep_blank_values=True) if k == "q")
+        for c in cases
+    ] + ["ok"]
+    assert got == exp
 
 
 def test_short_path_segment_yields_null(spark):
