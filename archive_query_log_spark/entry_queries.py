@@ -1513,6 +1513,91 @@ def crawl_pipeline_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES["crawl_pipeline_round"] = crawl_pipeline_round
 
 
+# ---------------------------------------------------------------------------
+# §2.9 with the reference's REAL rule tables: 972 url→query + 425 url→page +
+# 66 url→offset rules through the broadcast-join cascade, hash-gated against
+# goldens computed by the reference parser logic itself
+# (tools/reference_rule_oracle.py over tools/make_rule_corpus.py's corpus).
+# ---------------------------------------------------------------------------
+
+
+def _rule_corpus_rows() -> list[dict]:
+    import json
+    from pathlib import Path
+
+    data = Path(__file__).resolve().parent / "data/rule_corpus.json"
+    return json.loads(data.read_text())["rows"]
+
+
+def _rule_corpus_oracle_sql() -> str:
+    """The golden as a DuckDB VALUES relation: expected parses minted by the
+    line-faithful reference re-execution (NOT by our Spark code), so a hash
+    match is Spark == reference, row by row."""
+
+    def s(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    def i(v):
+        return "NULL" if v is None else str(v)
+
+    rows = ",\n".join(
+        f"({s(r['capture_id'])},{s(r['url_query'])},{i(r['url_page'])},"
+        f"{i(r['url_offset'])},{i(r['q_rule'])},{i(r['p_rule'])},{i(r['o_rule'])})"
+        for r in _rule_corpus_rows()
+    )
+    return f"""
+SELECT capture_id,
+       url_query,
+       CAST(url_page AS BIGINT) AS url_page,
+       CAST(url_offset AS BIGINT) AS url_offset,
+       CAST(q_rule AS BIGINT) AS q_rule,
+       CAST(p_rule AS BIGINT) AS p_rule,
+       CAST(o_rule AS BIGINT) AS o_rule
+FROM (VALUES
+{rows}
+) AS t(capture_id, url_query, url_page, url_offset, q_rule, p_rule, o_rule)
+"""
+
+
+@_q("w4_reference_rules", _rule_corpus_oracle_sql())
+def w4_reference_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 for real: all three reference rule tables (1,463 rules) through
+    apply_cascade_join over a 4,129-URL corpus covering every reachable rule
+    (parsers/url_query.py:216-5916, url_page.py:60-2711, url_offset.py:60-571
+    as DATA; engine = operators/cascade.py)."""
+    from archive_query_log_spark.operators.cascade import apply_cascade_join
+    from archive_query_log_spark.operators.rule_tables import reference_rules_df
+
+    df = spark.createDataFrame(
+        [(r["capture_id"], r["provider_id"], r["url"]) for r in _rule_corpus_rows()],
+        "capture_id string, provider_id string, url string",
+    ).repartition(16)
+    for table, out_col, rule_col, as_int in (
+        ("url_query", "url_query", "q_rule", False),
+        ("url_page", "url_page", "p_rule", True),
+        ("url_offset", "url_offset", "o_rule", True),
+    ):
+        df = apply_cascade_join(
+            df,
+            reference_rules_df(spark, table),
+            url=F.col("url"),
+            provider=F.col("provider_id"),
+            id_col="capture_id",
+            out_col=out_col,
+            as_int=as_int,
+            out_rule_col=rule_col,
+        )
+    return df.select(
+        "capture_id",
+        "url_query",
+        "url_page",
+        "url_offset",
+        F.col("q_rule").cast("long").alias("q_rule"),
+        F.col("p_rule").cast("long").alias("p_rule"),
+        F.col("o_rule").cast("long").alias("o_rule"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

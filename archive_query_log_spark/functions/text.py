@@ -32,8 +32,11 @@ def clean_text(
         c = F.regexp_replace(c, remove_pattern, "")
     if space_pattern is not None:
         c = F.regexp_replace(c, space_pattern, " ")
+    # (?U): Python's `" ".join(text.split())` splits on UNICODE whitespace
+    # (U+00A0 etc.); Java \s is ASCII-only without the flag. Collapse first,
+    # then trim — leading/trailing runs are now single ASCII spaces.
+    c = F.regexp_replace(c, r"(?U)\s+", " ")
     c = F.trim(c)
-    c = F.regexp_replace(c, r"\s+", " ")
     return F.nullif(c, F.lit(""))
 
 

@@ -95,18 +95,43 @@ def percent_decode(value: Column) -> Column:
     )
 
 
+def parse_qsl_first(qs: Column, parameter: Column) -> Column:
+    """First value of `parameter` in a query/fragment string with EXACT
+    ``urllib.parse.parse_qsl`` semantics (parsers/utils/url.py:5-16):
+
+    - fields split on '&'; a field without '=' is skipped
+    - KEYS are form-decoded before comparison ('SearchForm%5Btitle%5D' must
+      match the rule parameter 'SearchForm[title]')
+    - blank values are dropped (keep_blank_values=False): 'q=&q=b' → 'b'
+    - the value is form-decoded ('+' → space, %XX)
+
+    Built from split/filter/transform higher-order functions — NOT Spark's
+    ``parse_url(url, 'QUERY', key)``, which treats the key as a REGEX
+    (a rule parameter like 'tags[]' or 'c[q]' would be an invalid or wrong
+    pattern) and neither decodes keys nor skips blank values.
+    """
+    pairs = F.split(F.coalesce(qs, F.lit("")), "&")
+    matches = F.filter(
+        pairs,
+        lambda kv: (F.instr(kv, "=") > 0)
+        & (form_decode(F.substring_index(kv, "=", 1)).eqNullSafe(parameter))
+        & (F.instr(kv, "=") < F.length(kv)),
+    )
+    first = F.get(matches, 0)
+    return form_decode(
+        F.substring(first, F.instr(first, "=") + 1, F.lit(2_000_000))
+    )
+
+
 def parse_url_query_parameter(parameter: str, url: Column | str) -> Column:
     """First value of a query param, form-decoded (parsers/utils/url.py:5-9)."""
-    return form_decode(
-        F.try_parse_url(lenient_url(url), F.lit("QUERY"), F.lit(parameter))
-    )
+    return parse_qsl_first(url_query(url), F.lit(parameter))
 
 
 def parse_url_fragment_parameter(parameter: str, url: Column | str) -> Column:
     """Param parsed out of the #fragment (parsers/utils/url.py:12-16)."""
     frag = F.try_parse_url(lenient_url(url), F.lit("REF"))
-    raw = F.regexp_extract(frag, rf"(?:^|&){parameter}=([^&]*)", 1)
-    return form_decode(F.nullif(raw, F.lit("")))
+    return parse_qsl_first(frag, F.lit(parameter))
 
 
 def parse_url_path_segment(segment: int, url: Column | str) -> Column:

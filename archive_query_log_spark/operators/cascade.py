@@ -104,17 +104,9 @@ def _extract_generic(url: Column) -> Column:
     the key to the join plan: the expression count stays constant no matter
     how many rules exist."""
     url = U.lenient_url(url)  # same malformed-escape leniency as compile_cascade
-    arg = F.col("argument")
-    qp = U.form_decode(F.try_parse_url(url, F.lit("QUERY"), arg))
-    frag = F.try_parse_url(url, F.lit("REF"))
-    fkv = F.get(
-        F.filter(
-            F.split(F.coalesce(frag, F.lit("")), "&"),
-            lambda kv: kv.startswith(F.concat(arg, F.lit("="))),
-        ),
-        0,
-    )
-    fp = U.form_decode(F.substring(fkv, F.length(arg) + 2, 1_000_000))
+    arg = F.col("_r_argument")
+    qp = U.parse_qsl_first(F.try_parse_url(url, F.lit("QUERY")), arg)
+    fp = U.parse_qsl_first(F.try_parse_url(url, F.lit("REF")), arg)
     seg = U.percent_decode(
         F.try_element_at(
             F.split(F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), "/"),
@@ -122,9 +114,9 @@ def _extract_generic(url: Column) -> Column:
         )
     )
     return (
-        F.when(F.col("rule_type") == "query_param", qp)
-        .when(F.col("rule_type") == "fragment_param", fp)
-        .when(F.col("rule_type") == "path_segment", seg)
+        F.when(F.col("_r_rule_type") == "query_param", qp)
+        .when(F.col("_r_rule_type") == "fragment_param", fp)
+        .when(F.col("_r_rule_type") == "path_segment", seg)
     )
 
 
@@ -136,6 +128,7 @@ def apply_cascade_join(
     id_col: str,
     out_col: str = "query",
     as_int: bool = False,
+    out_rule_col: str | None = None,
 ):
     """The SCALE plan for large rule tables (the reference's 972-rule
     url→query cascade): broadcast the rule TABLE, equi-join provider-specific
@@ -147,22 +140,29 @@ def apply_cascade_join(
     unrolled coalesce measured ~0.85 ms/row; this plan is ~50× cheaper.
     """
     keyed = df.withColumn("_url", url).withColumn("_prov", provider)
+    # namespace the rule columns so they can never collide with df's own
+    # (a caller's df legitimately has e.g. its own provider_id column)
+    rules = rules_df.select(
+        *[F.col(c).alias(f"_r_{c}") for c in rules_df.columns]
+    )
     specific = keyed.join(
-        F.broadcast(rules_df.where(F.col("provider_id").isNotNull())),
-        on=F.col("_prov") == F.col("provider_id"),
+        F.broadcast(rules.where(F.col("_r_provider_id").isNotNull())),
+        on=F.col("_prov") == F.col("_r_provider_id"),
         how="inner",
     )
     universal = keyed.crossJoin(
-        F.broadcast(rules_df.where(F.col("provider_id").isNull()))
+        F.broadcast(rules.where(F.col("_r_provider_id").isNull()))
     )
     cand = specific.unionByName(universal)
-    applicable = F.col("url_pattern").isNull() | F.expr("_url rlike url_pattern")
+    applicable = F.col("_r_url_pattern").isNull() | F.expr(
+        "_url rlike _r_url_pattern"
+    )
     raw = _extract_generic(F.col("_url"))
     # dynamic clean_text/clean_int: pattern columns instead of literals
     cleaned = raw
     cleaned = F.when(
-        F.col("remove_pattern").isNotNull(),
-        F.regexp_replace(cleaned, F.col("remove_pattern"), F.lit("")),
+        F.col("_r_remove_pattern").isNotNull(),
+        F.regexp_replace(cleaned, F.col("_r_remove_pattern"), F.lit("")),
     ).otherwise(cleaned)
     if as_int:
         # clean_int semantics exactly (parsers/utils/__init__.py:21-33 and
@@ -173,18 +173,22 @@ def apply_cascade_join(
         cleaned = F.trim(cleaned).try_cast("long")
     else:
         cleaned = F.when(
-            F.col("space_pattern").isNotNull(),
-            F.regexp_replace(cleaned, F.col("space_pattern"), F.lit(" ")),
+            F.col("_r_space_pattern").isNotNull(),
+            F.regexp_replace(cleaned, F.col("_r_space_pattern"), F.lit(" ")),
         ).otherwise(cleaned)
+        # (?U)\s+ then trim: unicode-exact twin of clean_text (see text.py)
         cleaned = F.nullif(
-            F.regexp_replace(F.trim(cleaned), r"\s+", " "), F.lit("")
+            F.trim(F.regexp_replace(cleaned, r"(?U)\s+", " ")), F.lit("")
         )
     hits = cand.where(applicable & cleaned.isNotNull()).select(
-        F.col(id_col), cleaned.alias("_val"), F.col("rule_order")
+        F.col(id_col), cleaned.alias("_val"), F.col("_r_rule_order")
     )
-    winners = hits.groupBy(id_col).agg(
-        F.min_by("_val", "rule_order").alias(out_col)
-    )
+    aggs = [F.min_by("_val", "_r_rule_order").alias(out_col)]
+    if out_rule_col is not None:
+        # winning rule id = lowest rule_order among non-null parses — the
+        # reference's first-match loop index (url_query.py:118-126)
+        aggs.append(F.min("_r_rule_order").alias(out_rule_col))
+    winners = hits.groupBy(id_col).agg(*aggs)
     return df.join(winners, on=id_col, how="left")
 
 

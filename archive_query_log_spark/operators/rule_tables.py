@@ -1,0 +1,96 @@
+"""Loaders for the reference's REAL URL parser-rule tables (972 url→query,
+425 url→page, 66 url→offset rules).
+
+The JSON files under ``archive_query_log_spark/data/`` are declarative rule
+DATA extracted verbatim from the reference's public, MIT-licensed tables
+(/root/reference/archive_query_log/parsers/url_query.py:216-5916,
+url_page.py:60-2711, url_offset.py:60-571) by
+``tools/extract_reference_rules.py``. This module turns them into
+
+- a broadcast-ready rules DataFrame for
+  :func:`archive_query_log_spark.operators.cascade.apply_cascade_join`
+  (the scale plan: per-row cost = rules-per-provider, not all-rules), and
+- ``UrlRule`` lists for :func:`compile_cascade` (the unrolled-coalesce plan,
+  useful for small per-provider subsets).
+
+Match-semantics shim: the reference applies ``url_pattern`` with
+``re.match`` (anchored at position 0, url_query.py:54-58); Spark ``rlike``
+and DuckDB ``regexp_matches`` are find-anywhere, so every pattern is wrapped
+as ``^(?:...)`` here (wrapping, not just prefixing, keeps top-level
+alternations anchored).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from archive_query_log_spark.operators.cascade import UrlRule
+
+DATA_DIR = Path(__file__).resolve().parent.parent / "data"
+
+RULE_TABLES = ("url_query", "url_page", "url_offset")
+
+RULES_DF_SCHEMA = (
+    "rule_order int, rule_type string, argument string, provider_id string,"
+    " url_pattern string, remove_pattern string, space_pattern string"
+)
+
+
+def match_anchored(pattern: str | None) -> str | None:
+    """re.match semantics for a find-anywhere regex engine."""
+    if pattern is None:
+        return None
+    return "^(?:" + pattern + ")"
+
+
+@lru_cache(maxsize=None)
+def load_rule_rows(table: str) -> tuple[dict, ...]:
+    """Raw rule rows (verbatim reference data) for one of RULE_TABLES."""
+    doc = json.loads((DATA_DIR / f"{table}_rules.json").read_text())
+    return tuple(doc["rules"])
+
+
+def reference_rules_df(spark: SparkSession, table: str) -> DataFrame:
+    """Rule table as a (tiny, broadcastable) DataFrame with url_pattern
+    wrapped for find-anywhere engines — feed straight to apply_cascade_join.
+    """
+    rows = [
+        (
+            r["rule_order"],
+            r["rule_type"],
+            r["argument"],
+            r["provider_id"],
+            match_anchored(r["url_pattern"]),
+            r["remove_pattern"],
+            r["space_pattern"],
+        )
+        for r in load_rule_rows(table)
+    ]
+    return spark.createDataFrame(rows, RULES_DF_SCHEMA)
+
+
+def reference_rules(table: str, provider_id: str | None = None) -> list[UrlRule]:
+    """Rule list for compile_cascade, optionally filtered to one provider."""
+    out = []
+    for r in load_rule_rows(table):
+        if provider_id is not None and r["provider_id"] != provider_id:
+            continue
+        out.append(
+            UrlRule(
+                rule_type=r["rule_type"],
+                argument=(
+                    int(r["argument"])
+                    if r["rule_type"] == "path_segment"
+                    else r["argument"]
+                ),
+                provider_id=r["provider_id"],
+                url_pattern=match_anchored(r["url_pattern"]),
+                remove_pattern=r["remove_pattern"],
+                space_pattern=r["space_pattern"],
+            )
+        )
+    return out
