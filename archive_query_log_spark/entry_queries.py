@@ -836,12 +836,15 @@ WITH toks AS (
   SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
   FROM documents WHERE doc_id < 150
 ),
-sh AS (
+sh0 AS (
   SELECT doc_id AS id,
          unnest(list_distinct(list_transform(generate_series(1, len(ts) - 2),
                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS sh
   FROM toks WHERE len(ts) >= 3
 ),
+-- hot-shingle cap (max_df=1000): same feature-space cut as jaccard_pairs
+keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (sh)),
 sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -886,9 +889,12 @@ sh AS (
   FROM toks WHERE len(ts) >= 3
 ),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-banded AS (
+banded0 AS (
   SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig
-)
+),
+-- hot-band cap (max_band_df=1000): same cut as minhash_lsh_candidates
+keep AS (SELECT band FROM banded0 GROUP BY band HAVING count(*) <= 1000),
+banded AS (SELECT banded0.* FROM banded0 JOIN keep USING (band))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id
 """
@@ -972,10 +978,13 @@ def _near_dup_oracle(dim: int = 64, n_planes: int = 6, threshold: float = 0.2) -
     )
     return f"""
 WITH hps AS (SELECT [{planes}] AS hp),
-s AS (
+s0 AS (
   SELECT vec_id, embedding, {sig_terms} AS lsh
   FROM embeddings, hps
 ),
+-- hot-bucket cap (max_bucket=1000): same cut as cosine_near_dup_pairs
+keep AS (SELECT lsh FROM s0 GROUP BY lsh HAVING count(*) <= 1000),
+s AS (SELECT s0.* FROM s0 JOIN keep USING (lsh)),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(
@@ -1003,20 +1012,80 @@ def ann_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_quantizer() -> dict:
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent / "data/ivf_centroids.json"
+    return json.loads(p.read_text())
+
+
+def _ivf_oracle() -> str:
+    """Probe selection + exact rerank with the FROZEN coarse quantizer as
+    literals (tools/make_ivf_centroids.py): assignment = argmin squared
+    distance over the 8 centroid literals, probe filter = the query's 3
+    nearest clusters (precomputed from the same literals), rerank = the
+    exact-cosine shape of _ANN_ORACLE."""
+    cfg = _ivf_quantizer()
+    dim = cfg["dim"]
+    cents = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cfg["centroids"]
+    )
+    probes = ", ".join(str(p) for p in cfg["probes_for_query_vec"])
+    return f"""
+WITH cents AS (SELECT [{cents}] AS cs),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         list_position(d, list_min(d)) - 1 AS c
+  FROM (
+    SELECT vec_id, embedding,
+           list_transform(cs, cc -> list_sum(list_transform(
+               generate_series(1, {dim}),
+               i -> pow(CAST(embedding[i] AS DOUBLE) - cc[i], 2)))) AS d
+    FROM embeddings, cents
+  ) e
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {cfg["query_vec_id"]}),
+s AS (
+  SELECT a.vec_id,
+         list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, {dim}),
+             i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS sim
+  FROM assigned a, q WHERE a.c IN ({probes})
+)
+SELECT vec_id, round(sim, 4) AS cos_sim FROM s
+ORDER BY round(sim, 4) DESC, vec_id LIMIT 10
+"""
+
+
+@_q("ann_ivf_topk", _ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only check: iterative k-means is not one SQL query):
-    deterministic centroids, nearest-probe scan, exact rerank in-cluster."""
+    """IVF ANN with the frozen deterministic coarse quantizer (standard IVF
+    practice: the quantizer is a trained artifact reused across queries —
+    here trained by the md5-seeded mini-k-means and checked in, which makes
+    probe selection + exact rerank fully oracle-checkable). The dynamic
+    training path (build_ivf_centroids) stays covered by the recall pytest."""
     from archive_query_log_spark.operators.similarity import ivf_topk
 
+    cfg = _ivf_quantizer()
     e = _t(spark, sf_dir, "embeddings")
     qv = [
         float(x)
-        for x in e.where(F.col("vec_id") == 1).select("embedding").collect()[0][0]
+        for x in e.where(F.col("vec_id") == cfg["query_vec_id"])
+        .select("embedding")
+        .collect()[0][0]
     ]
-    return ivf_topk(e, qv, dim=64, k=10, n_centroids=8, n_probe=3)
-
-
-_QUERIES["ann_ivf_topk"] = ann_ivf_topk
+    return ivf_topk(
+        e,
+        qv,
+        dim=cfg["dim"],
+        k=10,
+        n_probe=cfg["n_probe"],
+        centroids=cfg["centroids"],
+    )
 
 
 @_q("ann_bruteforce_topk", _ANN_ORACLE)

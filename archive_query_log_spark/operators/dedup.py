@@ -66,6 +66,35 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _drop_hot_keys(
+    df: DataFrame, key: str, max_df: int | None
+) -> DataFrame:
+    """Anti-join away keys whose document frequency exceeds max_df BEFORE a
+    pairwise self-join: one hot key with df rows would otherwise produce df²
+    pair rows (boilerplate shingles / degenerate LSH buckets are quadratic
+    blowups at scale). The hot-key set is tiny by construction → broadcast
+    anti-join, map-side."""
+    if max_df is None:
+        return df
+    hot = (
+        df.groupBy(key)
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select(key)
+    )
+    return df.join(F.broadcast(hot), key, "left_anti")
+
+
+def hot_key_report(df: DataFrame, key: str, max_df: int) -> DataFrame:
+    """(key, df) rows that _drop_hot_keys would exclude — the dropped-
+    candidate report a pipeline should log/monitor (no silent cap)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") > max_df)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -73,12 +102,14 @@ def minhash_lsh_candidates(
     num_perm: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    max_band_df: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band.
 
     band value = concat of its rows' minhashes; self-equi-join per band —
-    the scale-safe alternative to pairwise comparison.
-    """
+    the scale-safe alternative to pairwise comparison. Bands shared by more
+    than ``max_band_df`` documents are dropped from candidate generation
+    (explicit recall cut; see _drop_hot_keys)."""
     rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     band_cols = [
@@ -92,6 +123,7 @@ def minhash_lsh_candidates(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
     )
+    stacked = _drop_hot_keys(stacked, "band", max_band_df)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -110,18 +142,23 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
     inter/union computed from one self-join on shingle + per-doc sizes —
-    never a cross join.
-    """
+    never a cross join. Shingles appearing in more than ``max_df`` documents
+    (boilerplate) are dropped from the FEATURE SPACE (both intersection and
+    sizes): the Jaccard is exact over non-boilerplate shingles, pairs for
+    non-hot content are unchanged, and the one-hot-shingle df² pair blowup
+    is gone. Count what was dropped via hot_key_report (no silent cap)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(
             F.array_distinct(shingles(F.col(text_col), shingle_k))
         ).alias("sh"),
     ).where(F.col("sh").isNotNull())
+    sh = _drop_hot_keys(sh, "sh", max_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -6,14 +6,37 @@
   probes only its bucket(s), turning O(N) scans into O(N/2^bits) per probe.
   Hyperplanes are derived deterministically (md5 of (plane, dim)) so results
   are reproducible and oracle-checkable without shipping matrices.
+- IVF ANN: deterministic mini-k-means coarse quantizer; probe the nearest
+  clusters, exact rerank inside.
 - embedding-cosine near-dup: pairs within the same LSH bucket above a cosine
-  threshold.
+  threshold, with a hot-bucket cap (see cosine_near_dup_pairs).
+
+Signature computation has TWO equivalent implementations, selected by dim:
+
+- ``method='expr'``: an unrolled Catalyst expression (n_planes × dim multiply
+  terms). Great at dim ≤ 64 — whole-stage codegen, zero Python — but the
+  expression tree grows as n_planes×dim: at real embedding widths (768-4096)
+  codegen falls back to interpreted mode and plan compilation itself blows up.
+- ``method='matmul'``: one Arrow-batched pandas UDF doing a single numpy
+  matmul per batch — constant-size plan regardless of dim.
+
+``with_lsh_signature`` / ``with_ivf_cluster`` are the STORED-COLUMN writers:
+at 100 TB the signature/cluster id is computed once at ingest and written as
+a bucketed/partition-pruning column; the probe side then touches only its
+bucket. Both paths are equality-tested (tests/test_dedup_search.py).
 """
 
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# above this many multiply terms, the unrolled expression plan is a
+# compile-time hazard → switch to the matmul UDF
+_EXPR_TERM_BUDGET = 1024
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -55,21 +78,34 @@ def brute_force_topk(
     )
 
 
-def _hyperplane(plane: int, dim: int) -> Column:
+# --- hyperplanes (shared by the expr and matmul paths, and the oracle) ------
+
+
+def hyperplane_value(plane: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     md5-derived, reproducible anywhere (incl. the DuckDB oracle)."""
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit("hp"), F.lit(plane), F.lit(dim))), 1, 8),
-        16,
-        10,
-    ).cast("double")
-    return h / F.lit(2147483648.0) - F.lit(1.0)
+    h = int(hashlib.md5(f"hp:{plane}:{d}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
 
 
-def lsh_signature(
-    vec: Column, dim: int, n_planes: int = 8
-) -> Column:
-    """Random-hyperplane LSH bucket id (0..2^n_planes-1) as a long."""
+def hyperplane_matrix(dim: int, n_planes: int):
+    """(n_planes, dim) float64 numpy matrix of the same md5 hyperplanes."""
+    import numpy as np
+
+    return np.array(
+        [[hyperplane_value(p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> Column:
+    return F.lit(hyperplane_value(plane, dim))
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1) as a long —
+    unrolled-expression path (use only when n_planes*dim is small; see
+    with_lsh_signature for the dim-aware dispatcher)."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         proj = None
@@ -81,6 +117,59 @@ def lsh_signature(
     return sig
 
 
+def lsh_signature_udf(dim: int, n_planes: int = 8):
+    """Arrow-batched signature: ONE numpy matmul per batch. Constant-size
+    plan at any dim — the stored-column writer for real embedding widths."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    H = hyperplane_matrix(dim, n_planes)  # captured, shipped once per task
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (X @ H.T) > 0  # (batch, n_planes)
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return _sig
+
+
+def with_lsh_signature(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "lsh",
+    method: str = "auto",
+) -> DataFrame:
+    """Append the LSH bucket column (the write-time stored column at scale).
+
+    method: 'expr' (unrolled Catalyst expression), 'matmul' (Arrow UDF), or
+    'auto' (expr while n_planes*dim ≤ 1024, matmul beyond — the expression
+    plan explodes at real embedding widths).
+    """
+    if method == "auto":
+        method = "expr" if n_planes * dim <= _EXPR_TERM_BUDGET else "matmul"
+    if method == "expr":
+        sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    elif method == "matmul":
+        sig = lsh_signature_udf(dim, n_planes)(F.col(vec_col))
+    else:
+        raise ValueError(method)
+    return df.withColumn(out_col, sig)
+
+
+def query_lsh_signature(query_vec: list[float], n_planes: int) -> int:
+    """Driver-side signature of the query vector (same hyperplanes)."""
+    dim = len(query_vec)
+    sig = 0
+    for p in range(n_planes):
+        proj = sum(query_vec[d] * hyperplane_value(p, d) for d in range(dim))
+        sig += (1 if proj > 0 else 0) << p
+    return sig
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -89,28 +178,26 @@ def ann_lsh_topk(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sig_col: str | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """ANN: score only rows in the query's LSH bucket (plus exact rerank).
 
-    At 100 TB the signature is a stored, bucketed column (write-time cost);
-    probing is a partition-pruned scan of one bucket.
+    Pass ``sig_col`` to probe a STORED signature column (written at ingest
+    by with_lsh_signature) — then this is a partition-pruned scan of one
+    bucket with no signature computation at query time.
     """
-    import numpy as np
-
-    def py_hyperplane(plane: int, d: int) -> float:
-        import hashlib
-
-        h = int(hashlib.md5(f"hp:{plane}:{d}".encode()).hexdigest()[:8], 16)
-        return h / 2147483648.0 - 1.0
-
-    qsig = 0
-    for p in range(n_planes):
-        proj = sum(query_vec[d] * py_hyperplane(p, d) for d in range(dim))
-        qsig += (1 if proj > 0 else 0) << p
-    del np
-    sig = lsh_signature(F.col(vec_col), dim, n_planes)
-    bucket = embeddings.withColumn("lsh", sig).where(F.col("lsh") == qsig)
+    qsig = query_lsh_signature(query_vec, n_planes)
+    if sig_col is None:
+        embeddings = with_lsh_signature(
+            embeddings, dim, n_planes, vec_col, "_lsh", method
+        )
+        sig_col = "_lsh"
+    bucket = embeddings.where(F.col(sig_col) == qsig)
     return brute_force_topk(bucket, query_vec, k, id_col, vec_col)
+
+
+# --- IVF --------------------------------------------------------------------
 
 
 def build_ivf_centroids(
@@ -157,7 +244,9 @@ def build_ivf_centroids(
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin_c ||v - c||² as a when-chain over squared distances."""
+    """argmin_c ||v - c||² as a when-chain over squared distances —
+    unrolled-expression path (n_centroids × dim terms; see with_ivf_cluster
+    for the dim-aware dispatcher)."""
     dists = []
     for c in centroids:
         carr = F.array(*[F.lit(float(x)) for x in c])
@@ -170,6 +259,55 @@ def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return chain.cast("int")
 
 
+def nearest_centroid_udf(centroids: list[list[float]]):
+    """Arrow-batched cluster assignment: one numpy distance matrix per batch
+    (ties → first index, same as the expression path's when-chain)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        X = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def with_ivf_cluster(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf",
+    method: str = "auto",
+) -> DataFrame:
+    """Append the IVF cluster-id column (the write-time partition column at
+    scale). method as in with_lsh_signature."""
+    n_terms = len(centroids) * len(centroids[0])
+    if method == "auto":
+        method = "expr" if n_terms <= _EXPR_TERM_BUDGET else "matmul"
+    if method == "expr":
+        c = _nearest_centroid(F.col(vec_col), centroids)
+    elif method == "matmul":
+        c = nearest_centroid_udf(centroids)(F.col(vec_col))
+    else:
+        raise ValueError(method)
+    return df.withColumn(out_col, c)
+
+
+def query_probes(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """Driver-side probe selection: the n_probe clusters nearest the query."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    return sorted(np.argsort(d2)[:n_probe].tolist())
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -180,22 +318,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    cluster_col: str | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """IVF ANN: scan only the n_probe clusters nearest to the query, exact
-    cosine rerank inside them. At scale the cluster id is a stored,
-    partition-pruning column (write-time assignment)."""
-    import numpy as np
-
+    cosine rerank inside them. Pass ``cluster_col`` to probe a STORED
+    cluster-id column (written at ingest by with_ivf_cluster) — then probing
+    is a partition-pruned scan with no assignment at query time."""
     centroids = centroids or build_ivf_centroids(
         embeddings, dim, n_centroids, id_col=id_col, vec_col=vec_col
     )
-    q = np.asarray(query_vec, dtype=np.float64)
-    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
-    probes = sorted(np.argsort(d2)[:n_probe].tolist())
-    assigned = embeddings.withColumn(
-        "_c", _nearest_centroid(F.col(vec_col), centroids)
-    )
-    bucket = assigned.where(F.col("_c").isin(probes)).drop("_c")
+    probes = query_probes(query_vec, centroids, n_probe)
+    if cluster_col is None:
+        embeddings = with_ivf_cluster(embeddings, centroids, vec_col, "_c", method)
+        cluster_col = "_c"
+    bucket = embeddings.where(F.col(cluster_col).isin(probes))
     return brute_force_topk(bucket, query_vec, k, id_col, vec_col)
 
 
@@ -206,13 +343,30 @@ def cosine_near_dup_pairs(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 1000,
+    method: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, candidate-gated by a shared
-    LSH bucket (equi-join, never cross)."""
-    sig = lsh_signature(F.col(vec_col), dim, n_planes)
-    s = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("lsh")
+    LSH bucket (equi-join, never cross).
+
+    Hot-bucket cap: a bucket with b rows produces b²/2 pair rows — one
+    degenerate bucket (all-zero embeddings, n_planes too small for N) turns
+    the self-join quadratic. Buckets larger than ``max_bucket`` are DROPPED
+    from candidate generation (an explicit recall cut, the standard
+    LSH-at-scale guard; count them via ``hot_buckets``). Size n_planes so
+    E[N/2^n_planes] ≪ max_bucket at the target scale.
+    """
+    s = with_lsh_signature(embeddings, dim, n_planes, vec_col, "lsh", method).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh"
     )
+    if max_bucket is not None:
+        hot = (
+            s.groupBy("lsh")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("lsh")
+        )
+        s = s.join(F.broadcast(hot), "lsh", "left_anti")
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, on="lsh")
@@ -223,4 +377,22 @@ def cosine_near_dup_pairs(
             F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def hot_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+    method: str = "auto",
+) -> DataFrame:
+    """The buckets cosine_near_dup_pairs would drop, with their sizes —
+    the dropped-candidate report a pipeline should log/monitor."""
+    s = with_lsh_signature(embeddings, dim, n_planes, vec_col, "lsh", method)
+    return (
+        s.groupBy("lsh")
+        .agg(F.count("*").alias("n_rows"))
+        .where(F.col("n_rows") > max_bucket)
     )

@@ -153,6 +153,53 @@ def query_times(master: str) -> dict[str, float]:
     return out
 
 
+def ann_sig_bench(master: str, n_rows: int = 20_000, dim: int = 768) -> dict:
+    """Stored-signature writer at a REAL embedding width (dim=768): the
+    matmul-UDF path keeps the plan constant-size where the unrolled
+    expression path (n_planes×dim = 6144 terms) blows up plan compilation.
+    Reports rows/sec of signature computation incl. plan time."""
+    from pyspark.sql import functions as F
+
+    from archive_query_log_spark.operators import similarity
+    from archive_query_log_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-ann", master=master, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    # deterministic synthetic embeddings: md5-derived components, JVM-side
+    base = spark.range(n_rows).select(F.col("id").alias("vec_id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("vec_id"), d)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(2147483648.0)
+            - F.lit(1.0)
+        ),
+    )
+    emb = base.select("vec_id", vec.alias("embedding")).cache()
+    emb.count()
+    out = similarity.with_lsh_signature(
+        emb, dim=dim, n_planes=8, method="matmul"
+    )
+    out.count()  # warm python workers
+    t0 = time.perf_counter()
+    n = out.count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "rows": n,
+        "dim": dim,
+        "sec": round(dt, 3),
+        "rows_per_sec": round(n / dt, 1),
+        "path": "matmul-udf (expr path unusable at this width)",
+    }
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-job":
         master, nf, ni, pf = sys.argv[2:6]
@@ -186,6 +233,7 @@ def main():
             "per_fetch_decode": main_run,
             "fetch_cache": cached_run,
         },
+        "ann_sig_768": ann_sig_bench(f"local[{CPUS}]"),
     }
 
     if SCALING:

@@ -127,3 +127,131 @@ def test_cosine_topk_and_lsh(spark):
     # near-dup pairs find the planted duplicate direction
     pairs = similarity.cosine_near_dup_pairs(df, dim=8, threshold=0.99)
     assert (3, 7) in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+
+def test_lsh_signature_matmul_equals_expr(spark):
+    """The Arrow-matmul stored-column writer computes the SAME signatures as
+    the unrolled expression path (dim=64, real embeddings table)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = similarity.with_lsh_signature(
+        e, dim=64, n_planes=8, out_col="lsh", method="expr"
+    ).select("vec_id", "lsh")
+    mm = similarity.with_lsh_signature(
+        e, dim=64, n_planes=8, out_col="lsh", method="matmul"
+    ).select("vec_id", "lsh")
+    a = {r["vec_id"]: r["lsh"] for r in expr.collect()}
+    b = {r["vec_id"]: r["lsh"] for r in mm.collect()}
+    assert a == b and len(a) > 10
+
+
+def test_ivf_cluster_matmul_equals_expr(spark):
+    import json
+    from pathlib import Path
+
+    cfg = json.loads(
+        (
+            Path(__file__).resolve().parent.parent
+            / "archive_query_log_spark/data/ivf_centroids.json"
+        ).read_text()
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = similarity.with_ivf_cluster(
+        e, cfg["centroids"], out_col="c", method="expr"
+    ).select("vec_id", "c")
+    mm = similarity.with_ivf_cluster(
+        e, cfg["centroids"], out_col="c", method="matmul"
+    ).select("vec_id", "c")
+    a = {r["vec_id"]: r["c"] for r in expr.collect()}
+    b = {r["vec_id"]: r["c"] for r in mm.collect()}
+    assert a == b and len(a) > 10
+
+
+def test_matmul_path_at_real_embedding_width(spark):
+    """dim=768: the matmul path is the auto-dispatch (the unrolled expression
+    would be a 6144-term plan) and matches a driver-side numpy recompute.
+    Also: the stored column probes correctly (ann_lsh_topk sig_col=)."""
+    import numpy as np
+
+    dim, n_planes = 768, 8
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(100, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.with_lsh_signature(df, dim=dim, n_planes=n_planes)
+    # auto must have picked matmul: the plan is one tiny UDF call, not a
+    # 6144-term expression tree
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "_sig(" in plan and len(plan) < 2000
+    got = {r["vec_id"]: r["lsh"] for r in out.collect()}
+    H = similarity.hyperplane_matrix(dim, n_planes)
+    bits = (vecs @ H.T) > 0
+    exp = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+    assert got == {i: int(exp[i]) for i in range(100)}
+    # stored-column probe end-to-end
+    q = [float(x) for x in vecs[5]]
+    stored = out.withColumnRenamed("lsh", "sig")
+    top = similarity.ann_lsh_topk(
+        stored, q, dim=dim, k=3, n_planes=n_planes, sig_col="sig"
+    ).collect()
+    assert top and top[0]["vec_id"] == 5
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc must not go quadratic:
+    capped run drops it from the feature space, keeps true duplicate pairs,
+    and hot_key_report counts what was cut."""
+    boiler = "copyright acme corp"
+    rows = [(i, f"{boiler} unique text number {i} body") for i in range(60)]
+    rows += [(100, f"{boiler} the same duplicate body here"),
+             (101, f"{boiler} the same duplicate body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.jaccard_pairs(df, threshold=0.5, max_df=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (100, 101) in got and got[(100, 101)] == 1.0
+    # without the planted dup, the hot shingle alone creates no pairs
+    assert all(p == (100, 101) for p in got)
+    # uncapped on the same data: the boilerplate shingles pair EVERY doc
+    uncapped = dedup.jaccard_pairs(df, threshold=0.0, max_df=None)
+    assert uncapped.count() > 1000  # 62*61/2 candidate pairs survive
+    # the report names the boilerplate shingles
+    sh = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(
+                __import__(
+                    "archive_query_log_spark.functions.text", fromlist=["shingles"]
+                ).shingles(F.col("text"), 3)
+            )
+        ).alias("sh"),
+    )
+    report = dedup.hot_key_report(sh, "sh", max_df=10).collect()
+    assert any(r["sh"] == boiler and r["doc_freq"] == 62 for r in report)
+
+
+def test_cosine_near_dup_hot_bucket_cap(spark):
+    """A degenerate LSH bucket (every vector identical direction) must not
+    go quadratic: capped run drops the bucket; hot_buckets reports it."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    hot = [(i, [float(x) for x in base * (1 + 0.001 * i)]) for i in range(50)]
+    o1, o2 = rng.normal(size=8), None
+    o2 = o1 * 1.001  # a near-dup pair OUTSIDE the hot bucket (unless unlucky)
+    cool = [(100, [float(x) for x in o1]), (101, [float(x) for x in o2])]
+    df = spark.createDataFrame(hot + cool, "vec_id long, embedding array<double>")
+    capped = similarity.cosine_near_dup_pairs(
+        df, dim=8, threshold=0.99, n_planes=6, max_bucket=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert all(a >= 100 for a, _ in pairs)  # hot-bucket pairs all dropped
+    uncapped = similarity.cosine_near_dup_pairs(
+        df, dim=8, threshold=0.99, n_planes=6, max_bucket=None
+    )
+    assert uncapped.count() > 1000  # 50*49/2 quadratic without the cap
+    report = similarity.hot_buckets(
+        df, dim=8, n_planes=6, max_bucket=10
+    ).collect()
+    assert len(report) == 1 and report[0]["n_rows"] == 50
