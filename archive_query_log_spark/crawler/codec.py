@@ -142,3 +142,38 @@ def validate_row(
         )
     except Exception:
         return 422, 0.0, False, False, False
+
+
+# --- composite SERP payload (result-block container) ------------------------
+
+SERP_MAGIC = b"SGSP"
+
+
+def encode_serp_payload(blocks: list[tuple[str, str, bytes]]) -> bytes:
+    """Pack N result blocks — (relative url, title, image bytes) — into one
+    binary SERP payload: the image-scope analog of a WARC HTML record that a
+    result-block extractor walks (see operators/blocks.py)."""
+    out = [SERP_MAGIC, struct.pack("<H", len(blocks))]
+    for url, title, img in blocks:
+        u, t = url.encode(), title.encode()
+        out.append(struct.pack("<HHI", len(u), len(t), len(img)))
+        out += [u, t, img]
+    return b"".join(out)
+
+
+def decode_serp_payload(buf: bytes) -> list[tuple[str, str, bytes]]:
+    if buf[:4] != SERP_MAGIC:
+        raise ValueError("bad serp magic")
+    (n,) = struct.unpack("<H", buf[4:6])
+    pos, blocks = 6, []
+    for _ in range(n):
+        lu, lt, li = struct.unpack("<HHI", buf[pos : pos + 8])
+        pos += 8
+        url = buf[pos : pos + lu].decode()
+        pos += lu
+        title = buf[pos : pos + lt].decode()
+        pos += lt
+        img = buf[pos : pos + li]
+        pos += li
+        blocks.append((url, title, img))
+    return blocks

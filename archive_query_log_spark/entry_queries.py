@@ -1163,12 +1163,12 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "text_quality",
-    """
+    f"""
 WITH m AS (
   SELECT doc_id,
          CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS n_tok,
          CAST(len(list_filter(string_split(lower(trim(text)), ' '),
-              t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t)))
+              t -> list_contains({_LANG_SQL_SETS["en"]}, t)))
               AS DOUBLE) AS sw,
          CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
            / greatest(length(text), 1) AS pr
@@ -1361,21 +1361,87 @@ def q4_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q5_compare",
     """
-SELECT user_id,
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+  FROM documents WHERE doc_id IN (1, 2, 3, 4, 5, 6) AND length(trim(text)) > 0
+),
+b0 AS (
+  SELECT doc_id, unnest(generate_series(1, least(len(ts), 5))) AS j, ts
+  FROM d
+),
+b AS (
+  SELECT doc_id, j - 1 AS jj, ts[j] AS title,
+         CASE WHEN (doc_id + j - 1) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+  FROM b0
+),
+r0_ok AS (SELECT DISTINCT doc_id FROM b WHERE doc_id % 3 = 0 AND fmt = 'png'),
+r1_ok AS (
+  SELECT DISTINCT doc_id FROM b
+  WHERE doc_id % 3 = 1 AND regexp_matches(title, '^[a-m]')
+),
+winner AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM r0_ok) THEN 0
+              WHEN doc_id IN (SELECT doc_id FROM r1_ok) THEN 1
+              ELSE 2 END AS rule
+  FROM (SELECT DISTINCT doc_id FROM b)
+),
+picked AS (
+  SELECT b.doc_id, b.jj, b.title, b.fmt,
+         row_number() OVER (PARTITION BY b.doc_id ORDER BY b.jj) - 1 AS rank
+  FROM b JOIN winner w USING (doc_id)
+  WHERE (w.rule = 0 AND b.fmt = 'png')
+     OR (w.rule = 1 AND regexp_matches(b.title, '^[a-m]'))
+     OR w.rule = 2
+)
+SELECT doc_id AS serp_id,
+       CAST(count(*) AS BIGINT) AS n_results,
        array_to_string(
-         list_sort(list(event_type || ':' || CAST(event_id AS VARCHAR))), ','
-       ) AS entries
-FROM events WHERE user_id IN (1, 2, 3) GROUP BY user_id
+         list_sort(list(CAST(rank AS VARCHAR) || ':' || title || ':' || fmt)),
+         ','
+       ) AS results
+FROM picked GROUP BY doc_id
 """,
 )
 def q5_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: side-by-side compare — mget N parents + collect their children
-    (serps.py:472-519) as a sorted array, serialized to a comma-joined
-    string so the driver's canonicalizer can hash the cell."""
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isin(1, 2, 3))
-    entry = F.concat_ws(":", "event_type", "event_id")
-    return ev.groupBy("user_id").agg(
-        F.array_join(F.array_sort(F.collect_list(entry)), ",").alias("entries")
+    """Q5: side-by-side SERP compare — mget N parent SERPs WITH their result
+    blocks (api/routers/serps.py:472-519): each parent row carries its
+    ranked children, collected and serialized sorted so the driver's
+    canonicalizer can hash the cell. Children come from the real extractor
+    path (binary payload → rule cascade → posexplode), not a flat twin."""
+    from archive_query_log_spark.operators import blocks as B
+
+    rules = [
+        B.BlockRule(0, "fmt=png", provider_id="p0"),
+        B.BlockRule(1, "title~^[a-m]", provider_id="p1", url_pattern=r"^https://h"),
+        B.BlockRule(2, "all"),
+    ]
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id").isin(1, 2, 3, 4, 5, 6) & (F.length(F.trim("text")) > 0)
+    )
+    serps = B.build_serp_payloads(d).select(
+        F.col("doc_id").alias("serp_id"),
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example.com/search?q="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("p"), F.pmod("doc_id", F.lit(3)).cast("string")).alias(
+            "provider_id"
+        ),
+        "payload",
+    )
+    child = F.concat_ws(":", "rank", "title", "fmt")
+    return (
+        B.extract_result_blocks(serps, rules)
+        .groupBy("serp_id")
+        .agg(
+            F.count("*").alias("n_results"),
+            F.array_join(F.array_sort(F.collect_list(child)), ",").alias(
+                "results"
+            ),
+        )
     )
 
 
@@ -1664,6 +1730,95 @@ def w4_reference_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_rule").cast("long").alias("q_rule"),
         F.col("p_rule").cast("long").alias("p_rule"),
         F.col("o_rule").cast("long").alias("o_rule"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 result-block extraction (UDTF shape): one SERP payload → N ranked
+# blocks (warc_web_search_result_blocks.py:78-180 analog over binary
+# payloads). The oracle recomputes the expected blocks directly from the
+# documents table — so the hash gate covers the whole binary round-trip:
+# payload encode → decode → rule cascade → urljoin/rank/digest.
+# ---------------------------------------------------------------------------
+
+_WSRB_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+  FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+),
+b0 AS (
+  SELECT doc_id, unnest(generate_series(1, least(len(ts), 5))) AS j, ts
+  FROM d
+),
+b AS (
+  SELECT doc_id, j - 1 AS jj, ts[j] AS title,
+         CASE WHEN (doc_id + j - 1) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+  FROM b0
+),
+r0_ok AS (SELECT DISTINCT doc_id FROM b WHERE doc_id % 3 = 0 AND fmt = 'png'),
+r1_ok AS (
+  SELECT DISTINCT doc_id FROM b
+  WHERE doc_id % 3 = 1 AND regexp_matches(title, '^[a-m]')
+),
+winner AS (
+  SELECT doc_id,
+         CASE WHEN doc_id IN (SELECT doc_id FROM r0_ok) THEN 0
+              WHEN doc_id IN (SELECT doc_id FROM r1_ok) THEN 1
+              ELSE 2 END AS rule
+  FROM (SELECT DISTINCT doc_id FROM b)
+),
+picked AS (
+  SELECT b.doc_id, w.rule, b.jj, b.title, b.fmt,
+         row_number() OVER (PARTITION BY b.doc_id ORDER BY b.jj) - 1 AS rank
+  FROM b JOIN winner w USING (doc_id)
+  WHERE (w.rule = 0 AND b.fmt = 'png')
+     OR (w.rule = 1 AND regexp_matches(b.title, '^[a-m]'))
+     OR w.rule = 2
+)
+SELECT doc_id AS serp_id,
+       CAST(rule AS INT) AS rule,
+       CAST(rank AS INT) AS rank,
+       'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/r'
+         || CAST(jj AS VARCHAR) || '?d=' || CAST(doc_id AS VARCHAR) AS url,
+       title, fmt,
+       md5('r' || CAST(jj AS VARCHAR) || '?d=' || CAST(doc_id AS VARCHAR)
+           || '|' || title || '|' || fmt) AS content_digest
+FROM picked
+"""
+
+
+@_q("wsrb_extract", _WSRB_ORACLE)
+def wsrb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-block extraction end-to-end: synthesize binary SERP payloads
+    from documents (operators/blocks.py:build_serp_payloads), run the
+    first-applicable-rule extractor UDF + posexplode, return ranked blocks.
+    The DuckDB oracle derives the same rows straight from the text — a hash
+    match proves the whole encode→decode→cascade→urljoin path."""
+    from archive_query_log_spark.operators import blocks as B
+
+    rules = [
+        B.BlockRule(0, "fmt=png", provider_id="p0"),
+        B.BlockRule(1, "title~^[a-m]", provider_id="p1", url_pattern=r"^https://h"),
+        B.BlockRule(2, "all"),
+    ]
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length(F.trim("text")) > 0)
+    )
+    serps = B.build_serp_payloads(d).select(
+        F.col("doc_id").alias("serp_id"),
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example.com/search?q="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("p"), F.pmod("doc_id", F.lit(3)).cast("string")).alias(
+            "provider_id"
+        ),
+        "payload",
+    )
+    return B.extract_result_blocks(serps, rules).select(
+        "serp_id", "rule", "rank", "url", "title", "fmt", "content_digest"
     )
 
 

@@ -13,6 +13,7 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -70,12 +71,48 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     )
 
 
-# tiny built-in stopword lists for the JVM-side lang-id heuristic
+# Built-in stopword tables for the JVM-side lang-id heuristic (C13).
+# No language-ID wheel (fasttext/cld3/langdetect/…) ships in this container
+# — verified at build time — so the heuristic carries the capability: 12
+# languages × ~25 high-frequency function words each, argmax on hit count.
+# A real model drops into lang_id_udf() below without touching callers.
+# NOTE: lang_id's oracle SQL is GENERATED from this table (entry_queries
+# _LANG_HITS) — extending it updates both sides automatically. Words are
+# single lowercase tokens without apostrophes (SQL-literal safe).
 STOPWORDS = {
-    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
-    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
-    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "pour"),
-    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "por"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+           "was", "on", "are", "as", "with", "his", "they", "at", "be",
+           "this", "have", "from", "or", "had", "by"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit",
+           "von", "den", "nicht", "sie", "es", "auch", "auf", "sich", "aber",
+           "dem", "nach", "wie", "im", "einer", "wird", "noch"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "pour",
+           "que", "qui", "dans", "pas", "sur", "plus", "par", "avec", "son",
+           "au", "il", "elle", "nous", "vous", "mais"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "por",
+           "que", "en", "no", "se", "con", "para", "su", "al", "lo", "como",
+           "más", "pero", "sus", "le", "ya"),
+    "it": ("il", "di", "che", "la", "per", "un", "una", "non", "sono", "con",
+           "si", "del", "come", "anche", "questo", "alla", "della", "nel",
+           "gli", "più"),
+    "pt": ("o", "de", "que", "do", "da", "em", "um", "para", "com", "não",
+           "uma", "os", "no", "se", "na", "mais", "as", "dos", "como", "mas"),
+    "nl": ("de", "het", "een", "van", "en", "dat", "is", "op", "te", "zijn",
+           "met", "voor", "niet", "aan", "er", "ook", "maar", "bij", "naar",
+           "dan"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för", "med",
+           "den", "till", "inte", "har", "de", "om", "ett", "men", "var",
+           "sig"),
+    "pl": ("i", "w", "na", "z", "do", "to", "się", "nie", "jest", "że", "o",
+           "jak", "po", "co", "tak", "za", "od", "przez", "ale", "czy"),
+    "tr": ("bir", "ve", "bu", "da", "de", "için", "ile", "mi", "ne", "gibi",
+           "daha", "çok", "en", "kadar", "sonra", "ama", "ise", "veya",
+           "olarak", "olan"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "ini", "untuk", "dari",
+           "dalam", "tidak", "akan", "pada", "juga", "ke", "karena", "ada",
+           "mereka", "sudah", "saya", "kita"),
+    "ru": ("и", "в", "не", "на", "что", "он", "с", "как", "это", "по", "но",
+           "его", "из", "у", "за", "то", "же", "от", "бы", "для"),
 }
 
 
@@ -95,6 +132,39 @@ def lang_id(text: Column | str) -> Column:
     for lang in sorted(STOPWORDS):
         chain = chain.when(hits[lang] == best, F.lit(lang))
     return chain
+
+
+def lang_id_udf(model_predict=None):
+    """The pandas-UDF slot a REAL language-ID model plugs into (cld3 in the
+    reference's scripts/create_corpus.py:41-48). ``model_predict`` takes a
+    list[str] and returns list[str|None] (batch API, e.g. fasttext
+    model.predict). Default: the stopword heuristic, batch-applied — same
+    answers as lang_id(), so swapping in a model changes ONE argument."""
+    from pyspark.sql.functions import pandas_udf
+
+    if model_predict is None:
+
+        def model_predict(texts: list) -> list:  # heuristic twin
+            out = []
+            for t in texts:
+                toks = (t or "").lower().split()
+                hits = {
+                    lang: sum(tok in ws for tok in toks)
+                    for lang, ws in ((k, set(v)) for k, v in STOPWORDS.items())
+                }
+                best = max(hits.values()) if hits else 0
+                out.append(
+                    None
+                    if best <= 0
+                    else min(k for k, v in hits.items() if v == best)
+                )
+            return out
+
+    @pandas_udf("string")
+    def _lang(texts: pd.Series) -> pd.Series:
+        return pd.Series(model_predict(texts.tolist()), dtype=object)
+
+    return _lang
 
 
 def punct_ratio(text: Column | str) -> Column:

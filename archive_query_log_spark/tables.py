@@ -25,7 +25,17 @@ import uuid
 from pathlib import Path
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_of(key: Column | str, n_buckets: int) -> Column:
+    """The table's hash-bucket function (stable across commits — recorded in
+    the manifest so every writer/reader agrees)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c.cast("string")), F.lit(n_buckets)).cast("int")
 
 
 class SnapshotTable:
@@ -81,6 +91,85 @@ class SnapshotTable:
         tmp.write_text(json.dumps(manifest, indent=1))
         os.replace(tmp, self.snap_dir / f"v{version}.json")
         return version
+
+    # -- bucketed commits (partition-pruned MERGE support) -------------------
+
+    def commit_bucketed(
+        self,
+        df: DataFrame,
+        key: str,
+        n_buckets: int,
+        meta: dict[str, Any] | None = None,
+        reuse_buckets: dict[int, list[str]] | None = None,
+        bucket_mode: str = "replace",
+    ) -> int:
+        """Overwrite-commit with a hash-bucketed layout: rows land in
+        ``_bucket=<b>`` subdirectories (b = bucket_of(key, n_buckets)), and
+        the manifest records the per-bucket data dirs. ``reuse_buckets``
+        carries UNTOUCHED buckets forward by reference — their data files
+        are not rewritten, which is what makes merge_update /
+        merge_array_union O(affected buckets) instead of O(table).
+
+        bucket_mode: 'replace' — a bucket written here supersedes its reused
+        dirs (copy-on-write MERGE rewrite); 'append' — new dirs ADD to the
+        bucket's reused dirs (insert-only commits, create-if-absent).
+
+        This is the explicit stand-in for Iceberg's bucket-partitioned
+        MERGE INTO (copy-on-write rewrites only matching files)."""
+        assert bucket_mode in ("replace", "append")
+        self.snap_dir.mkdir(parents=True, exist_ok=True)
+        parent = self.latest_version()
+        if parent is not None:
+            pm = self._manifest(parent)
+            assert pm.get("bucket_key") in (None, key), "bucket key changed"
+            assert pm.get("n_buckets") in (None, n_buckets), "bucket count changed"
+        version = (parent + 1) if parent is not None else 0
+        file_dir = self.data_dir / f"v{version}-{uuid.uuid4().hex[:8]}"
+        out = df.withColumn(BUCKET_COL, bucket_of(key, n_buckets))
+        out.write.partitionBy(BUCKET_COL).mode("errorifexists").parquet(
+            str(file_dir)
+        )
+        buckets: dict[str, list[str]] = {
+            str(b): list(dirs) for b, dirs in (reuse_buckets or {}).items()
+        }
+        for p in sorted(Path(file_dir).glob(f"{BUCKET_COL}=*")):
+            b = p.name.split("=", 1)[1]
+            if bucket_mode == "append":
+                buckets[b] = buckets.get(b, []) + [str(p)]
+            else:
+                buckets[b] = [str(p)]
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": "overwrite",
+            "data_dirs": [d for dirs in buckets.values() for d in dirs],
+            "bucket_key": key,
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+            "committed_at": time.time(),
+            "meta": meta or {},
+        }
+        tmp = self.snap_dir / f".v{version}.json.tmp.{uuid.uuid4().hex[:6]}"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self.snap_dir / f"v{version}.json")
+        return version
+
+    def bucket_info(
+        self, version: int | None = None
+    ) -> tuple[str, int, dict[int, list[str]]] | None:
+        """(bucket_key, n_buckets, {bucket: data dirs}) for a bucketed
+        snapshot, or None for a plain table."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        m = self._manifest(v)
+        if "buckets" not in m:
+            return None
+        return (
+            m["bucket_key"],
+            m["n_buckets"],
+            {int(b): dirs for b, dirs in m["buckets"].items()},
+        )
 
     # -- read ---------------------------------------------------------------
 

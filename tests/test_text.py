@@ -49,3 +49,28 @@ def test_lang_id(spark):
     )
     got = [r["l"] for r in df.select(T.lang_id(F.col("t")).alias("l")).collect()]
     assert got == ["en", "de", None]
+
+
+def test_lang_id_udf_slot_matches_column_expr(spark):
+    """The pandas-UDF model slot (default heuristic) agrees with the
+    JVM-side lang_id() column expression, including new languages."""
+    from archive_query_log_spark.functions import text as T
+
+    rows = [
+        (0, "the cat sat on the mat and it was happy"),
+        (1, "der hund ist ein guter freund und die katze auch"),
+        (2, "le chat est dans la maison et il dort pour la nuit"),
+        (3, "el perro es un animal y la casa es grande por dentro"),
+        (4, "il gatto non è qui ma sono sicuro che anche lui dorme"),
+        (5, "de hond is een goed dier en het huis is ook groot maar klein"),
+        (6, "yang penting itu dengan ini untuk mereka dan tidak akan"),
+        (7, "zzz qqq xxx"),  # no stopword hits → null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col_out = {r["doc_id"]: r["l"] for r in
+               df.select("doc_id", T.lang_id("text").alias("l")).collect()}
+    udf_out = {r["doc_id"]: r["l"] for r in
+               df.select("doc_id", T.lang_id_udf()("text").alias("l")).collect()}
+    assert col_out == udf_out
+    assert col_out[0] == "en" and col_out[1] == "de" and col_out[2] == "fr"
+    assert col_out[4] == "it" and col_out[6] == "id" and col_out[7] is None
