@@ -1822,6 +1822,57 @@ def wsrb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "c18_encoding_waterfall",
+    """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
+                       WHEN 2 THEN 'cp1252' ELSE 'utf-16' END AS encoding,
+       CASE WHEN doc_id % 4 = 2 THEN text || ' über' ELSE text END AS text
+FROM documents WHERE doc_id < 200
+""",
+)
+def c18_encoding_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-detection waterfall (parsers/utils/xml.py:26-129 analog):
+    payloads are minted in four charsets — plain utf-8, BOM'd utf-8-sig,
+    cp1252 with a non-ASCII marker (invalid as utf-8, so the ladder must
+    fall through), and BOM'd utf-16 — then detected + decoded by the
+    waterfall UDF. The oracle recomputes (encoding, text) straight from the
+    documents table, hash-gating the whole encode→detect→decode roundtrip."""
+    from archive_query_log_spark.functions.encoding import decode_text_udf
+
+    @F.pandas_udf("binary")
+    def _mint(doc_id, text):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        out = []
+        for i, t in zip(doc_id, text):
+            mode = int(i) % 4
+            if mode == 0:
+                out.append(t.encode("utf-8"))
+            elif mode == 1:
+                out.append(t.encode("utf-8-sig"))
+            elif mode == 2:
+                out.append((t + " über").encode("cp1252"))
+            else:
+                out.append(t.encode("utf-16"))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    payloads = d.select(
+        "doc_id", _mint(F.col("doc_id"), F.col("text")).alias("payload")
+    )
+    decoded = payloads.select(
+        "doc_id",
+        decode_text_udf()(F.col("payload"), F.lit(None).cast("string")).alias("_d"),
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("_d.encoding").alias("encoding"),
+        F.col("_d.text").alias("text"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

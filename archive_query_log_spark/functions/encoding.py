@@ -1,0 +1,90 @@
+"""Encoding-detection waterfall for binary text payloads (SURVEY.md §2.9
+support op; reference: parsers/utils/xml.py:26-129).
+
+Reference semantics reproduced:
+- candidate list = [charset from the Content-Type header (first, if any),
+  detected encodings, 'utf-8-sig' appended when 'utf-8' is a candidate]
+  (xml.py:48-70);
+- 'windows-874' is mapped to Python's 'cp874' (xml.py:75-77);
+- the FIRST candidate that decodes the whole payload without error wins;
+  none → None (xml.py:72-95).
+
+One substitution, documented: the reference detects candidate encodings with
+resiliparse (a compiled wheel that does not ship in this container); here
+detection = BOM sniffing (utf-8-sig / utf-16) + the fixed fallback ladder
+utf-8 → cp1252 — cp1252 is total (every byte decodes), so the ladder always
+terminates like the reference's list does in practice.
+
+Spark shape: detection is per-payload Python → one Arrow-batched pandas UDF
+(`decode_text_udf`) returning struct<encoding, text>; never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+import pandas as pd
+
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
+)
+
+_FALLBACKS = ("utf-8", "cp1252")
+
+
+def candidate_encodings(buf: bytes, content_type: str | None = None) -> list[str]:
+    """Candidate list in reference precedence order (xml.py:48-70)."""
+    detected: list[str] = []
+    for bom, enc in _BOMS:
+        if buf.startswith(bom):
+            detected.append(enc)
+            break
+    detected.extend(_FALLBACKS)
+    encodings: list[str] = []
+    if content_type is not None and "charset=" in content_type:
+        encodings.extend(
+            part.strip().removeprefix("charset=").lower()
+            for part in content_type.split(";")
+            if part.strip().startswith("charset=")
+        )
+    encodings.extend(detected)
+    if "utf-8" in encodings and "utf-8-sig" not in encodings:
+        encodings.append("utf-8-sig")
+    # de-dup, keep order
+    return list(dict.fromkeys(encodings))
+
+
+def detect_decode(
+    buf: bytes | None, content_type: str | None = None
+) -> tuple[str, str] | None:
+    """(winning encoding, decoded text) via the waterfall; None if no
+    candidate decodes (or the payload is null)."""
+    if buf is None:
+        return None
+    for encoding in candidate_encodings(buf, content_type):
+        if encoding == "windows-874":  # xml.py:75-77
+            encoding = "cp874"
+        try:
+            return encoding, buf.decode(encoding)
+        except (UnicodeDecodeError, UnicodeError, LookupError):
+            continue
+    return None
+
+
+def decode_text_udf():
+    """Arrow-batched (payload binary, content_type string) →
+    struct<encoding string, text string>; nulls where the waterfall fails."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("encoding string, text string")
+    def _decode(payload: pd.Series, content_type: pd.Series) -> pd.DataFrame:
+        enc_out, txt_out = [], []
+        for buf, ct in zip(payload, content_type):
+            got = detect_decode(None if buf is None else bytes(buf), ct)
+            enc_out.append(None if got is None else got[0])
+            txt_out.append(None if got is None else got[1])
+        return pd.DataFrame({"encoding": enc_out, "text": txt_out})
+
+    return _decode

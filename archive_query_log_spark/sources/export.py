@@ -27,16 +27,30 @@ def export_jsonl(
     n_sample: int | None = None,
     seed: int = 42,
     n_blocks: int | None = None,
-) -> None:
+    dry_run: bool = False,
+) -> dict | None:
     """S11/S12/S13: JSONL export, optionally a deterministic random sample,
-    optionally repartitioned into n_blocks files, gzip-compressed."""
+    optionally repartitioned into n_blocks files, gzip-compressed.
+
+    S15 dry-run (reference config.py:75-107 ``bulk(..., dry_run=...)``):
+    ``dry_run=True`` runs the full plan but writes NOTHING — it returns a
+    report of what would be written (row count, target path, block count)."""
     out = df
     if n_sample is not None:
         key = F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])
         out = out.orderBy(md5_rand(key, seed)).limit(n_sample)
     if n_blocks is not None:
         out = out.repartition(n_blocks)
+    if dry_run:
+        return {
+            "dry_run": True,
+            "would_write_rows": out.count(),
+            "path": path,
+            "n_blocks": n_blocks,
+            "compression": "gzip",
+        }
     out.write.mode("overwrite").option("compression", "gzip").json(path)
+    return None
 
 
 def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:

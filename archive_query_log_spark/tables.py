@@ -68,12 +68,24 @@ class SnapshotTable:
         df: DataFrame,
         op: str = "append",
         meta: dict[str, Any] | None = None,
+        dry_run: bool = False,
     ) -> int:
-        """Write df as new data files and atomically publish a new snapshot."""
+        """Write df as new data files and atomically publish a new snapshot.
+
+        ``dry_run=True`` (S15, reference config.py:75-107): run the plan and
+        count what would be committed, but write nothing — the table is
+        untouched; returns the version that WOULD have been committed."""
         assert op in ("append", "overwrite")
-        self.snap_dir.mkdir(parents=True, exist_ok=True)
         parent = self.latest_version()
         version = (parent + 1) if parent is not None else 0
+        if dry_run:
+            n = df.count()
+            print(
+                f"[dry-run] {self.path}: would commit v{version} "
+                f"(op={op}, rows={n})"
+            )
+            return version
+        self.snap_dir.mkdir(parents=True, exist_ok=True)
         file_dir = self.data_dir / f"v{version}-{uuid.uuid4().hex[:8]}"
         df.write.mode("errorifexists").parquet(str(file_dir))
         dirs = [str(file_dir)]

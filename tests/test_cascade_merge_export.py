@@ -228,3 +228,24 @@ def test_streaming_available_now_dedup(spark):
         # second drain: nothing new, exactly-once on files
         run_available_now(stream_new_urls(spark, src, df.schema), out, ckpt)
         assert spark.read.parquet(out).count() == 2
+
+
+def test_dry_run_sinks_write_nothing(spark, tmp_path):
+    """S15: dry-run runs the plan, reports would-write counts, writes zero
+    bytes (reference config.py:75-107 bulk dry_run)."""
+    from archive_query_log_spark.sources.export import export_jsonl
+    from archive_query_log_spark.tables import SnapshotTable
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    out = tmp_path / "export"
+    report = export_jsonl(df, str(out), n_blocks=4, dry_run=True)
+    assert report["would_write_rows"] == 100 and report["n_blocks"] == 4
+    assert not out.exists()
+
+    t = SnapshotTable(tmp_path / "tbl")
+    would_be = t.commit(df, dry_run=True)
+    assert would_be == 0 and not t.exists()
+    # real commit then a dry-run update on top: version untouched
+    t.commit(df)
+    assert t.commit(df, op="overwrite", dry_run=True) == 1
+    assert t.latest_version() == 0 and t.read(spark).count() == 100

@@ -74,3 +74,32 @@ def test_lang_id_udf_slot_matches_column_expr(spark):
     assert col_out == udf_out
     assert col_out[0] == "en" and col_out[1] == "de" and col_out[2] == "fr"
     assert col_out[4] == "it" and col_out[6] == "id" and col_out[7] is None
+
+
+def test_encoding_waterfall_semantics():
+    """parsers/utils/xml.py:48-95 parity: header charset first, windows-874
+    → cp874 mapping, utf-8-sig fallback, first-clean-decode wins."""
+    from archive_query_log_spark.functions import encoding as E
+
+    # header charset takes precedence over detection
+    buf = "héllo".encode("cp1252")
+    assert E.detect_decode(buf, "text/html; charset=cp1252") == ("cp1252", "héllo")
+    # windows-874 maps to cp874 (xml.py:75-77)
+    thai = "สวัสดี".encode("cp874")
+    assert E.detect_decode(thai, "text/html; charset=windows-874") == (
+        "cp874", "สวัสดี"
+    )
+    # invalid header charset is skipped, ladder continues
+    assert E.detect_decode(b"plain", "text/html; charset=bogus-enc") == (
+        "utf-8", "plain"
+    )
+    # BOMs detected ahead of the ladder
+    assert E.detect_decode("x".encode("utf-8-sig"))[0] == "utf-8-sig"
+    assert E.detect_decode("x".encode("utf-16"))[0] == "utf-16"
+    # utf-8 tried before cp1252; invalid utf-8 falls through
+    assert E.detect_decode("ü".encode("cp1252")) == ("cp1252", "ü")
+    assert E.detect_decode(None) is None
+    # utf-8-sig appended when header says utf-8 but payload carries a BOM
+    bom = "x".encode("utf-8-sig")
+    cands = E.candidate_encodings(bom, "text/html; charset=utf-8")
+    assert cands.index("utf-8") < cands.index("utf-8-sig")
