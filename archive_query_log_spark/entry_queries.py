@@ -1697,10 +1697,12 @@ FROM (VALUES
 @_q("w4_reference_rules", _rule_corpus_oracle_sql())
 def w4_reference_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 for real: all three reference rule tables (1,463 rules) through
-    apply_cascade_join over a 4,129-URL corpus covering every reachable rule
-    (parsers/url_query.py:216-5916, url_page.py:60-2711, url_offset.py:60-571
-    as DATA; engine = operators/cascade.py)."""
-    from archive_query_log_spark.operators.cascade import apply_cascade_join
+    the zero-shuffle array cascade plan over a 4,129-URL corpus covering
+    every reachable rule (parsers/url_query.py:216-5916,
+    url_page.py:60-2711, url_offset.py:60-571 as DATA; engine =
+    operators/cascade.py — all three plans equality-tested in
+    tests/test_reference_rules.py)."""
+    from archive_query_log_spark.operators.cascade import apply_cascade_array
     from archive_query_log_spark.operators.rule_tables import reference_rules_df
 
     df = spark.createDataFrame(
@@ -1712,12 +1714,11 @@ def w4_reference_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("url_page", "url_page", "p_rule", True),
         ("url_offset", "url_offset", "o_rule", True),
     ):
-        df = apply_cascade_join(
+        df = apply_cascade_array(
             df,
             reference_rules_df(spark, table),
             url=F.col("url"),
             provider=F.col("provider_id"),
-            id_col="capture_id",
             out_col=out_col,
             as_int=as_int,
             out_rule_col=rule_col,

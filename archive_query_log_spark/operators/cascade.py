@@ -99,12 +99,11 @@ def rules_to_df(spark, rules: list[UrlRule]):
     )
 
 
-def _extract_generic(url: Column) -> Column:
-    """One 3-branch extraction expression over DYNAMIC rule columns —
-    the key to the join plan: the expression count stays constant no matter
-    how many rules exist."""
+def _extract_dynamic(url: Column, rule_type: Column, arg: Column) -> Column:
+    """One 3-branch extraction expression over DYNAMIC rule columns or
+    struct fields — the key to both scale plans: the expression count stays
+    constant no matter how many rules exist."""
     url = U.lenient_url(url)  # same malformed-escape leniency as compile_cascade
-    arg = F.col("_r_argument")
     qp = U.parse_qsl_first(F.try_parse_url(url, F.lit("QUERY")), arg)
     fp = U.parse_qsl_first(F.try_parse_url(url, F.lit("REF")), arg)
     seg = U.percent_decode(
@@ -114,10 +113,127 @@ def _extract_generic(url: Column) -> Column:
         )
     )
     return (
-        F.when(F.col("_r_rule_type") == "query_param", qp)
-        .when(F.col("_r_rule_type") == "fragment_param", fp)
-        .when(F.col("_r_rule_type") == "path_segment", seg)
+        F.when(rule_type == "query_param", qp)
+        .when(rule_type == "fragment_param", fp)
+        .when(rule_type == "path_segment", seg)
     )
+
+
+def _clean_dynamic(
+    raw: Column, remove_pattern: Column, space_pattern: Column, as_int: bool
+) -> Column:
+    """Dynamic clean_text/clean_int: pattern columns instead of literals
+    (guarded — regexp_replace with a NULL pattern column returns null)."""
+    cleaned = F.when(
+        remove_pattern.isNotNull(),
+        F.regexp_replace(raw, remove_pattern, F.lit("")),
+    ).otherwise(raw)
+    if as_int:
+        # clean_int semantics exactly (parsers/utils/__init__.py:21-33 and
+        # functions.text.clean_int): remove_pattern → trim → try_cast. No
+        # space_pattern substitution and no whitespace collapse — clean_int
+        # takes no space_pattern, so an int rule carrying one must behave
+        # identically in every cascade plan.
+        return F.trim(cleaned).try_cast("long")
+    cleaned = F.when(
+        space_pattern.isNotNull(),
+        F.regexp_replace(cleaned, space_pattern, F.lit(" ")),
+    ).otherwise(cleaned)
+    # (?U)\s+ then trim: unicode-exact twin of clean_text (see text.py)
+    return F.nullif(F.trim(F.regexp_replace(cleaned, r"(?U)\s+", " ")), F.lit(""))
+
+
+_RULE_FIELDS = (
+    "rule_order", "rule_type", "argument", "url_pattern",
+    "remove_pattern", "space_pattern",
+)
+
+
+def apply_cascade_array(
+    df,
+    rules_df,
+    url: Column,
+    provider: Column,
+    out_col: str = "query",
+    as_int: bool = False,
+    out_rule_col: str | None = None,
+):
+    """The ZERO-SHUFFLE scale plan: broadcast a per-provider ARRAY of rule
+    structs (universal rules merged into every provider's array, global
+    rule_order preserved by the sort), left-broadcast-join it onto the rows,
+    then evaluate the whole first-match cascade as ONE projection with
+    higher-order functions — transform(rules, r → cleaned extract) then
+    first non-null. No groupBy, no join-back: the plan is scan → broadcast
+    join → project, so it composes into any pipeline without adding an
+    exchange (apply_cascade_join needs 3: winner agg + both join-back
+    sides). Per-row cost is identical (rules-per-provider evaluations).
+    Equality-tested against apply_cascade_join and compile_cascade on the
+    reference's real rule tables."""
+    spec = rules_df.where(F.col("provider_id").isNotNull())
+    univ_rows = (
+        rules_df.where(F.col("provider_id").isNull())
+        .select(*_RULE_FIELDS)
+        .collect()
+    )
+
+    def _lit_rule(r):
+        return F.struct(
+            *[
+                (
+                    F.lit(r[f]).alias(f)
+                    if r[f] is not None
+                    else F.lit(None).cast("int" if f == "rule_order" else "string").alias(f)
+                )
+                for f in _RULE_FIELDS
+            ]
+        )
+
+    univ_arr = (
+        F.array(*[_lit_rule(r) for r in univ_rows])
+        if univ_rows
+        else F.array().cast(
+            "array<struct<rule_order:int,rule_type:string,argument:string,"
+            "url_pattern:string,remove_pattern:string,space_pattern:string>>"
+        )
+    )
+    packed = spec.groupBy(F.col("provider_id").alias("_rp")).agg(
+        F.collect_list(F.struct(*_RULE_FIELDS)).alias("_prules")
+    )
+    joined = df.withColumn("_url", url).withColumn("_prov", provider).join(
+        F.broadcast(packed), on=F.col("_prov") == F.col("_rp"), how="left"
+    )
+    # merge universal rules in, restore GLOBAL cascade order (array_sort on
+    # structs orders by the first field, rule_order)
+    empty_arr = F.array().cast(
+        "array<struct<rule_order:int,rule_type:string,argument:string,"
+        "url_pattern:string,remove_pattern:string,space_pattern:string>>"
+    )
+    rules_arr = F.array_sort(
+        F.concat(F.coalesce(F.col("_prules"), empty_arr), univ_arr)
+    )
+
+    def _eval(r):
+        applicable = r["url_pattern"].isNull() | F.regexp_like(
+            F.col("_url"), r["url_pattern"]
+        )
+        raw = _extract_dynamic(F.col("_url"), r["rule_type"], r["argument"])
+        cleaned = _clean_dynamic(
+            raw, r["remove_pattern"], r["space_pattern"], as_int
+        )
+        val = F.when(applicable, cleaned)
+        return F.struct(
+            val.cast("long" if as_int else "string").alias("v"),
+            r["rule_order"].alias("o"),
+        )
+
+    hits = F.filter(
+        F.transform(rules_arr, _eval), lambda p: p["v"].isNotNull()
+    )
+    first = F.get(hits, 0)
+    out = joined.withColumn(out_col, first["v"])
+    if out_rule_col is not None:
+        out = out.withColumn(out_rule_col, first["o"])
+    return out.drop("_url", "_prov", "_rp", "_prules")
 
 
 def apply_cascade_join(
@@ -130,15 +246,16 @@ def apply_cascade_join(
     as_int: bool = False,
     out_rule_col: str | None = None,
 ):
-    """The SCALE plan for large rule tables (the reference's 972-rule
-    url→query cascade): broadcast the rule TABLE, equi-join provider-specific
-    rules on provider_id (fan-out = rules-per-provider, typically 1-3),
-    cross-join the few universal rules, evaluate ONE generic extraction
-    expression, and keep the first (lowest rule_order) non-null parse per
-    row via min_by — identical semantics to compile_cascade (tested), but
-    per-row cost is O(matching rules), not O(all rules): the 600-rule
-    unrolled coalesce measured ~0.85 ms/row; this plan is ~50× cheaper.
-    """
+    """The materialized-hits plan for large rule tables: broadcast the rule
+    TABLE, equi-join provider-specific rules on provider_id (fan-out =
+    rules-per-provider, typically 1-3), cross-join the few universal rules,
+    evaluate ONE generic extraction expression, and keep the first (lowest
+    rule_order) non-null parse per row via min_by — identical semantics to
+    compile_cascade (tested), per-row cost O(matching rules), not O(all
+    rules): the 600-rule unrolled coalesce measured ~0.85 ms/row; this plan
+    is ~50× cheaper. Costs 3 exchanges (winner agg + join-back) — prefer
+    apply_cascade_array (zero-shuffle) unless you want the hits relation
+    itself."""
     keyed = df.withColumn("_url", url).withColumn("_prov", provider)
     # namespace the rule columns so they can never collide with df's own
     # (a caller's df legitimately has e.g. its own provider_id column)
@@ -157,29 +274,12 @@ def apply_cascade_join(
     applicable = F.col("_r_url_pattern").isNull() | F.expr(
         "_url rlike _r_url_pattern"
     )
-    raw = _extract_generic(F.col("_url"))
-    # dynamic clean_text/clean_int: pattern columns instead of literals
-    cleaned = raw
-    cleaned = F.when(
-        F.col("_r_remove_pattern").isNotNull(),
-        F.regexp_replace(cleaned, F.col("_r_remove_pattern"), F.lit("")),
-    ).otherwise(cleaned)
-    if as_int:
-        # clean_int semantics exactly (parsers/utils/__init__.py:21-33 and
-        # functions.text.clean_int): remove_pattern → trim → try_cast. No
-        # space_pattern substitution and no whitespace collapse — clean_int
-        # takes no space_pattern, so an int rule carrying one must behave
-        # identically in both cascade plans.
-        cleaned = F.trim(cleaned).try_cast("long")
-    else:
-        cleaned = F.when(
-            F.col("_r_space_pattern").isNotNull(),
-            F.regexp_replace(cleaned, F.col("_r_space_pattern"), F.lit(" ")),
-        ).otherwise(cleaned)
-        # (?U)\s+ then trim: unicode-exact twin of clean_text (see text.py)
-        cleaned = F.nullif(
-            F.trim(F.regexp_replace(cleaned, r"(?U)\s+", " ")), F.lit("")
-        )
+    raw = _extract_dynamic(
+        F.col("_url"), F.col("_r_rule_type"), F.col("_r_argument")
+    )
+    cleaned = _clean_dynamic(
+        raw, F.col("_r_remove_pattern"), F.col("_r_space_pattern"), as_int
+    )
     hits = cand.where(applicable & cleaned.isNotNull()).select(
         F.col(id_col), cleaned.alias("_val"), F.col("_r_rule_order")
     )

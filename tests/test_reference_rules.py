@@ -30,6 +30,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from archive_query_log_spark.operators.cascade import (
+    apply_cascade_array,
     apply_cascade_join,
     compile_cascade,
 )
@@ -96,6 +97,61 @@ def test_cascade_matches_reference(spark, corpus, corpus_df, table, field,
         f"{len(mismatches)} mismatches vs reference parses; first 10:\n"
         + "\n".join(repr(m) for m in mismatches[:10])
     )
+
+
+@pytest.mark.parametrize(
+    "table,field,rule_field,as_int",
+    [
+        ("url_query", "url_query", "q_rule", False),
+        ("url_page", "url_page", "p_rule", True),
+        ("url_offset", "url_offset", "o_rule", True),
+    ],
+)
+def test_array_plan_matches_reference(spark, corpus, corpus_df, table, field,
+                                      rule_field, as_int):
+    """The zero-shuffle array plan (broadcast per-provider rule arrays +
+    one higher-order-function projection) reproduces the reference parses
+    too — same gate as the join plan."""
+    out = apply_cascade_array(
+        corpus_df,
+        reference_rules_df(spark, table),
+        url=F.col("url"),
+        provider=F.col("provider_id"),
+        out_col="value",
+        as_int=as_int,
+        out_rule_col="rule",
+    )
+    got = {
+        r["capture_id"]: (r["value"], r["rule"])
+        for r in out.select("capture_id", "value", "rule").collect()
+    }
+    bad = [
+        (r["url"], got[r["capture_id"]], (r[field], r[rule_field]))
+        for r in corpus["rows"]
+        if got[r["capture_id"]] != (r[field], r[rule_field])
+    ]
+    assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
+
+
+def test_array_plan_zero_data_side_exchanges(spark, corpus_df):
+    """Plan audit: the data side of apply_cascade_array is scan → broadcast
+    hash join → project; the only exchanges sit on the tiny rules side
+    (constant cost, 972 rows)."""
+    out = apply_cascade_array(
+        corpus_df.localCheckpoint(),  # cut the repartition lineage
+        reference_rules_df(spark, "url_query"),
+        url=F.col("url"),
+        provider=F.col("provider_id"),
+        out_col="value",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every Exchange in the plan must be under the rules-side aggregate
+    # (hashpartitioning on provider_id) or the broadcast itself
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all(s.startswith("provider_id") for s in shuffles), shuffles
 
 
 def test_corpus_coverage(corpus):
