@@ -1823,6 +1823,84 @@ def wsrb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WQ_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+  FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+),
+b0 AS (
+  SELECT doc_id, unnest(generate_series(1, least(len(ts), 5))) AS j, ts
+  FROM d
+),
+b AS (
+  SELECT doc_id, doc_id % 3 AS pmod, j - 1 AS jj, ts[j] AS title,
+         CASE WHEN (doc_id + j - 1) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+  FROM b0
+),
+c0 AS (
+  SELECT doc_id, jj,
+         nullif(regexp_replace(title, '^[a-c].*', '', 'g'), '') AS clean
+  FROM b WHERE pmod = 0 AND fmt = 'png'
+),
+c0v AS (
+  SELECT doc_id, arg_min(clean, jj) AS v
+  FROM c0 WHERE clean IS NOT NULL GROUP BY doc_id
+),
+c1v AS (
+  SELECT doc_id, arg_min(title, jj) AS v
+  FROM b WHERE pmod = 1 AND regexp_matches(title, '^[d-z]') GROUP BY doc_id
+),
+c2v AS (SELECT doc_id, arg_min(title, jj) AS v FROM b GROUP BY doc_id)
+SELECT p.doc_id AS serp_id,
+       CASE WHEN p.pmod = 0 AND c0v.v IS NOT NULL THEN c0v.v
+            WHEN p.pmod = 1 AND c1v.v IS NOT NULL THEN c1v.v
+            ELSE c2v.v END AS query,
+       CAST(CASE WHEN p.pmod = 0 AND c0v.v IS NOT NULL THEN 0
+                 WHEN p.pmod = 1 AND c1v.v IS NOT NULL THEN 1
+                 ELSE 2 END AS INT) AS rule
+FROM (SELECT DISTINCT doc_id, pmod FROM b) p
+LEFT JOIN c0v ON c0v.doc_id = p.doc_id
+LEFT JOIN c1v ON c1v.doc_id = p.doc_id
+JOIN c2v ON c2v.doc_id = p.doc_id
+"""
+
+
+@_q("wq_extract", _WQ_ORACLE)
+def wq_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload→query cascade (warc_query.py:61-117 analog): per rule, the
+    selected candidates are tried in document order and the first whose
+    clean_text survives wins; first applicable rule with a hit takes the
+    SERP. Exercises the within-rule candidate loop (rule 0's remove_pattern
+    nulls titles starting a-c, forcing fall-through to later candidates)."""
+    from archive_query_log_spark.operators import blocks as B
+
+    rules = [
+        B.PayloadQueryRule(
+            0, "fmt=png", provider_id="p0",
+            url_pattern=r"^https://h", remove_pattern=r"^[a-c].*",
+        ),
+        B.PayloadQueryRule(1, "title~^[d-z]", provider_id="p1"),
+        B.PayloadQueryRule(2, "all"),
+    ]
+    d = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length(F.trim("text")) > 0)
+    )
+    serps = B.build_serp_payloads(d).select(
+        F.col("doc_id").alias("serp_id"),
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(".example.com/search?q="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("p"), F.pmod("doc_id", F.lit(3)).cast("string")).alias(
+            "provider_id"
+        ),
+        "payload",
+    )
+    return B.extract_payload_query(serps, rules)
+
+
 @_q(
     "c18_encoding_waterfall",
     """

@@ -171,6 +171,107 @@ def extract_result_blocks(
     )
 
 
+@dataclass(frozen=True)
+class PayloadQueryRule:
+    """One payload→query rule (mirrors XpathWarcQueryParser,
+    warc_query.py:61-89: xpath → candidate strings → first whose clean_text
+    is non-null; selector stands in for the xpath)."""
+
+    rule_order: int
+    selector: str
+    provider_id: str | None = None
+    url_pattern: str | None = None
+    remove_pattern: str | None = None
+    space_pattern: str | None = None
+
+
+def _clean_text_py(
+    text: str, remove_pattern: re.Pattern | None, space_pattern: re.Pattern | None
+) -> str | None:
+    """parsers/utils/__init__.py:5-18 — the same clean_text the cascade
+    oracle re-executes."""
+    if remove_pattern is not None:
+        text = remove_pattern.sub("", text)
+    if space_pattern is not None:
+        text = space_pattern.sub(" ", text)
+    text = " ".join(text.strip().split())
+    return text if text != "" else None
+
+
+def extract_payload_query(
+    serps: DataFrame,
+    rules: list[PayloadQueryRule],
+    id_col: str = "serp_id",
+    url_col: str = "url",
+    provider_col: str = "provider_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """SERP payload → ONE query string (the warc_query.py:61-117 cascade):
+    first applicable rule wins with the first selected candidate whose
+    clean_text is non-null; rows with null payloads are skipped. Output:
+    (id_col, query, rule) with query/rule null when nothing parsed (the
+    reference marks those should_parse=False with no query)."""
+
+    from archive_query_log_spark.crawler.codec import decode, decode_serp_payload
+
+    compiled = [
+        (
+            r.rule_order,
+            r.provider_id,
+            re.compile(r.url_pattern) if r.url_pattern else None,
+            _compile_selector(r.selector),
+            re.compile(r.remove_pattern) if r.remove_pattern else None,
+            re.compile(r.space_pattern) if r.space_pattern else None,
+        )
+        for r in sorted(rules, key=lambda r: r.rule_order)
+    ]
+
+    @F.pandas_udf("query string, rule int")
+    def _extract(
+        base_url: pd.Series, provider: pd.Series, payload: pd.Series
+    ) -> pd.DataFrame:
+        q_out, r_out = [], []
+        for burl, prov, buf in zip(base_url, provider, payload):
+            query, won = None, None
+            if buf is not None:
+                try:
+                    decoded = [
+                        (u, t, decode(img)[0])
+                        for u, t, img in decode_serp_payload(bytes(buf))
+                    ]
+                except Exception:
+                    decoded = []
+                for order, rp, rx, sel, rm, sp in compiled:
+                    if rp is not None and rp != prov:
+                        continue
+                    if rx is not None and not rx.match(burl):
+                        continue
+                    for u, t, fmt in decoded:
+                        if not sel(u, t, fmt):
+                            continue
+                        cleaned = _clean_text_py(t, rm, sp)
+                        if cleaned is not None:
+                            query, won = cleaned, order
+                            break
+                    if query is not None:
+                        break
+            q_out.append(query)
+            r_out.append(won)
+        return pd.DataFrame({"query": q_out, "rule": r_out})
+
+    out = serps.select(
+        F.col(id_col),
+        _extract(F.col(url_col), F.col(provider_col), F.col(payload_col)).alias(
+            "_q"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("_q.query").alias("query"),
+        F.col("_q.rule").alias("rule"),
+    )
+
+
 def build_serp_payloads(
     df: DataFrame,
     text_col: str = "text",

@@ -107,3 +107,36 @@ def test_build_and_extract_roundtrip(spark):
     assert 2 not in by_serp
     # doc 3: single block
     assert len(by_serp[3]) == 1 and by_serp[3][0]["title"] == "one"
+
+
+def test_extract_payload_query_cascade(spark):
+    """warc_query analog: within-rule candidates tried in order (first
+    clean_text survivor wins), rules cascade, null payloads skipped."""
+    rules = [
+        B.PayloadQueryRule(0, "fmt=png", provider_id="p0",
+                           remove_pattern=r"^z.*"),
+        B.PayloadQueryRule(1, "all"),
+    ]
+    rows = [
+        # p0: first png title 'zulu' is removed entirely by the rule's
+        # remove_pattern -> falls to the NEXT candidate 'echo' (same rule)
+        ("s0", "https://h.example/s", "p0",
+         codec.encode_serp_payload([
+             ("r0", "zulu", codec.encode(codec.synth_pixels("a", 8, 8), "png")),
+             ("r1", "skip", codec.encode(codec.synth_pixels("b", 8, 8), "jpeg")),
+             ("r2", "echo", codec.encode(codec.synth_pixels("c", 8, 8), "png")),
+         ])),
+        # p0 with ONLY removable png titles -> rule 0 yields nothing ->
+        # rule 1 takes the first title overall
+        ("s1", "https://h.example/s", "p0",
+         codec.encode_serp_payload([
+             ("r0", "zeta", codec.encode(codec.synth_pixels("d", 8, 8), "png")),
+         ])),
+        ("s2", "https://h.example/s", "p9", None),  # null payload -> nulls
+    ]
+    df = spark.createDataFrame(
+        rows, "serp_id string, url string, provider_id string, payload binary"
+    )
+    got = {r["serp_id"]: (r["query"], r["rule"])
+           for r in B.extract_payload_query(df, rules).collect()}
+    assert got == {"s0": ("echo", 0), "s1": ("zeta", 1), "s2": (None, None)}
