@@ -24,12 +24,13 @@ def stream_new_urls(
     watermark: str = "28 days",
     ts_col: str = "ts",
     key_col: str = "url_key",
+    max_files_per_trigger: int = 64,
 ) -> DataFrame:
     """readStream over a frontier drop-directory with watermark'd first-seen
     dedup on the canonical key."""
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     # dropDuplicatesWithinWatermark (not plain dropDuplicates) so the dedup

@@ -249,3 +249,46 @@ def test_dry_run_sinks_write_nothing(spark, tmp_path):
     t.commit(df)
     assert t.commit(df, op="overwrite", dry_run=True) == 1
     assert t.latest_version() == 0 and t.read(spark).count() == 100
+
+
+def test_streaming_dedup_state_evicts_at_watermark(spark):
+    """dropDuplicatesWithinWatermark semantics (the round-1 review fix): a
+    key's dedup state is EVICTED once the watermark passes its window — a
+    re-capture far outside the 28-day window is re-admitted, and state does
+    not grow unboundedly (plain dropDuplicates([key]) would hold every key
+    forever and emit k1 only once here)."""
+    from archive_query_log_spark.streaming.incremental import (
+        run_available_now,
+        stream_new_urls,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src, out, ckpt = d + "/src", d + "/out", d + "/ckpt"
+        schema = "url_key string, ts timestamp, url string"
+        batches = [
+            [("k1", datetime(2024, 1, 1), "u1")],
+            # advances the watermark to ~Jun 2024, far past k1's window
+            [("k9", datetime(2024, 7, 1), "u9")],
+            # eviction is applied at batch boundaries: this batch runs with
+            # the advanced watermark and drops k1's expired state
+            [("k8", datetime(2024, 7, 1), "u8")],
+            # k1 again, 6 months later: state was evicted → re-admitted
+            [("k1", datetime(2024, 7, 2), "u1-again")],
+        ]
+        import time as _time
+
+        for b in batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.2)  # distinct mod-times → deterministic file order
+        deduped = stream_new_urls(
+            spark,
+            src,
+            spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        run_available_now(deduped, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == 4
+        assert got.where("url_key = 'k1'").count() == 2

@@ -124,3 +124,33 @@ def test_valid_url_gate(spark):
     )
     got = df.where(urls.valid_url("url")).count()
     assert got == 1
+
+
+def test_parse_qsl_first_random_parity(spark):
+    """Property-style parity: parse_qsl_first == urllib.parse.parse_qsl
+    first-match over 400 seeded adversarial query strings (malformed
+    escapes, '+', unicode, brackets, semicolons, blank/duplicate fields)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    alpha = "ab1%+&=-_. ;/?:ü"
+    cases = []
+    for n in range(400):
+        qs = "".join(random.choice(alpha) for _ in range(random.randint(0, 25)))
+        key = random.choice(["a", "ab", "a b", "k[1]", "ü"])
+        cases.append((n, qs, key))
+    df = spark.createDataFrame(cases, "n long, qs string, key string")
+    got = {
+        r["n"]: r["v"]
+        for r in df.select(
+            "n",
+            urls.parse_qsl_first(
+                urls._escape_invalid_pct(F.col("qs")), F.col("key")
+            ).alias("v"),
+        ).collect()
+    }
+    for n, qs, key in cases:
+        exp = next((v for k, v in parse_qsl(qs) if k == key), None)
+        assert got[n] == exp, (qs, key, got[n], exp)
