@@ -200,6 +200,64 @@ def ann_sig_bench(master: str, n_rows: int = 20_000, dim: int = 768) -> dict:
     }
 
 
+def cascade_bench(master: str, n_rows: int = 500_000) -> dict:
+    """The reference's full 972-rule url→query cascade via the zero-shuffle
+    array plan over synthetic SERP URLs spread across the real provider ids.
+    Reports rows/sec including the broadcast of the packed rule arrays."""
+    from pyspark.sql import functions as F
+
+    from archive_query_log_spark.operators.cascade import apply_cascade_array
+    from archive_query_log_spark.operators.rule_tables import (
+        load_rule_rows,
+        reference_rules_df,
+    )
+    from archive_query_log_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-cascade", master=master,
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    providers = sorted({r["provider_id"] for r in load_rule_rows("url_query")})
+    prov_arr = F.array(*[F.lit(p) for p in providers[:256]])
+    base = spark.range(n_rows).select(
+        F.col("id"),
+        F.element_at(prov_arr, (F.pmod("id", F.lit(256)) + 1).cast("int")).alias(
+            "provider_id"
+        ),
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("id", F.lit(97)).cast("string"),
+            F.lit(".example.com/search?q=term+"),
+            F.col("id").cast("string"),
+            F.lit("&page=3"),
+        ).alias("url"),
+    ).cache()
+    base.count()
+    rules = reference_rules_df(spark, "url_query")
+
+    def run():
+        out = apply_cascade_array(
+            base, rules, F.col("url"), F.col("provider_id"), out_col="q"
+        )
+        return out.agg(F.count("q")).collect()[0][0]
+
+    run()  # warm
+    best, n_parsed = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_parsed = run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    spark.stop()
+    return {
+        "rows": n_rows,
+        "n_rules": 972,
+        "parsed": n_parsed,
+        "sec": round(best, 3),
+        "rows_per_sec": round(n_rows / best, 1),
+        "plan": "apply_cascade_array (zero data-side exchanges)",
+    }
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-job":
         master, nf, ni, pf = sys.argv[2:6]
@@ -234,6 +292,7 @@ def main():
             "fetch_cache": cached_run,
         },
         "ann_sig_768": ann_sig_bench(f"local[{CPUS}]"),
+        "cascade_972": cascade_bench(f"local[{CPUS}]"),
     }
 
     if SCALING:
