@@ -900,6 +900,40 @@ FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id
 """
 
 
+def _cluster_oracle() -> str:
+    """Recursive-CTE twin of connected_components over the SAME candidate
+    pairs the LSH oracle derives: cluster id = min doc id reachable."""
+    pairs = _lsh_pairs_oracle(8, 4).strip().rstrip()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+@_q("dedup_cluster_assign", _cluster_oracle())
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: LSH candidate pairs → connected
+    components → (node, cluster_id = min doc id in component) — the
+    keep-one-per-duplicate-cluster step of a training-data dedup pipeline
+    (min-label propagation; the DuckDB oracle is a recursive CTE over the
+    same pairs)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    pairs = dedup.minhash_lsh_candidates(
+        d, "text", "doc_id", num_perm=8, bands=4, shingle_k=3
+    )
+    return dedup.connected_components(pairs)
+
+
 @_q("dedup_lsh_candidate_pairs", _lsh_pairs_oracle(8, 4))
 def dedup_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding end-to-end: signatures → band values → bucket

@@ -241,3 +241,56 @@ def simhash32_md5(
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER assignment: connected components over candidate
+    pairs, labels = min doc id per component → (node, cluster_id). The
+    "keep one document per duplicate cluster" step that follows pairwise
+    candidate generation in a training-data dedup pipeline.
+
+    Plan: min-label propagation — per iteration ONE equi-join of the
+    (undirected) edge list against current labels + a min agg, with
+    localCheckpoint() to cut lineage (iterative plans otherwise grow
+    exponentially). Iterations = max component diameter; near-dup clusters
+    are shallow (dozens of docs, diameter ≤ a few hops), so this converges
+    in 2-4 rounds at any scale. Deterministic (min label), so the DuckDB
+    oracle reproduces it with a recursive CTE.
+    """
+    fwd = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    edges = fwd.union(
+        fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = edges.select("x").distinct().withColumn("lbl", F.col("x"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("x", "y"), on="y")
+            .groupBy("x")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, on="x", how="left")
+            .select(
+                "x",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, on="x")
+            .where(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("node"), F.col("lbl").alias("cluster_id"))

@@ -255,3 +255,29 @@ def test_cosine_near_dup_hot_bucket_cap(spark):
         df, dim=8, n_planes=6, max_bucket=10
     ).collect()
     assert len(report) == 1 and report[0]["n_rows"] == 50
+
+
+def test_connected_components_chains_and_isolates(spark):
+    """Min-label propagation converges past diameter-3 chains and keeps
+    components separate; deterministic labels = min id per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # end-to-end: LSH pairs on planted duplicates cluster together
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} with its own words x{i}")
+         for i in range(20)]
+        + [(100, "the exact same duplicated body of text here"),
+           (101, "the exact same duplicated body of text here"),
+           (102, "the exact same duplicated body of text here")],
+        "doc_id long, text string",
+    )
+    cand = dedup.minhash_lsh_candidates(docs, num_perm=8, bands=4)
+    comp = {r["node"]: r["cluster_id"]
+            for r in dedup.connected_components(cand).collect()}
+    assert comp.get(100) == comp.get(101) == comp.get(102) == 100
