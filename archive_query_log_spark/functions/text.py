@@ -143,6 +143,7 @@ def lang_id_udf(model_predict=None):
     from pyspark.sql.functions import pandas_udf
 
     if model_predict is None:
+        sets = {k: set(v) for k, v in STOPWORDS.items()}  # built once
 
         def model_predict(texts: list) -> list:  # heuristic twin
             out = []
@@ -150,7 +151,7 @@ def lang_id_udf(model_predict=None):
                 toks = (t or "").lower().split()
                 hits = {
                     lang: sum(tok in ws for tok in toks)
-                    for lang, ws in ((k, set(v)) for k, v in STOPWORDS.items())
+                    for lang, ws in sets.items()
                 }
                 best = max(hits.values()) if hits else 0
                 out.append(

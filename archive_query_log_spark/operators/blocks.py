@@ -71,6 +71,33 @@ def _compile_selector(selector: str):
     raise ValueError(selector)
 
 
+def _decode_payload(buf) -> list[tuple[str, str, str]]:
+    """(url, title, fmt) blocks of one binary SERP payload; a corrupt or
+    null payload yields [] — per-row errors must never kill the task."""
+    from archive_query_log_spark.crawler.codec import decode, decode_serp_payload
+
+    if buf is None:
+        return []
+    try:
+        return [
+            (u, t, decode(img)[0])
+            for u, t, img in decode_serp_payload(bytes(buf))
+        ]
+    except Exception:
+        return []
+
+
+def _applicable(rule_provider, rule_rx, prov, burl) -> bool:
+    """Reference applicability (url_query.py:49-58): provider equality +
+    url_pattern match. A null URL (no url_pattern can match it) fails any
+    patterned rule instead of crashing the batch."""
+    if rule_provider is not None and rule_provider != prov:
+        return False
+    if rule_rx is not None and (burl is None or not rule_rx.match(burl)):
+        return False
+    return True
+
+
 def extract_result_blocks(
     serps: DataFrame,
     rules: list[BlockRule],
@@ -87,8 +114,6 @@ def extract_result_blocks(
     blocks under every applicable rule yields no rows (parse → None, :126).
     """
     from urllib.parse import urljoin
-
-    from archive_query_log_spark.crawler.codec import decode, decode_serp_payload
 
     compiled = [
         (
@@ -108,18 +133,10 @@ def extract_result_blocks(
         rules_out, blocks_out = [], []
         for sid, burl, prov, buf in zip(serp_id, base_url, provider, payload):
             won_rule, won_blocks = None, None
-            if buf is not None:
-                try:
-                    decoded = [
-                        (u, t, decode(img)[0]) for u, t, img in
-                        decode_serp_payload(bytes(buf))
-                    ]
-                except Exception:  # corrupt payload → skip row, never the task
-                    decoded = []
+            decoded = _decode_payload(buf)
+            if decoded:
                 for order, rp, rx, sel in compiled:
-                    if rp is not None and rp != prov:
-                        continue
-                    if rx is not None and not rx.match(burl):
+                    if not _applicable(rp, rx, prov, burl):
                         continue
                     picked = [
                         (u, t, fmt) for u, t, fmt in decoded if sel(u, t, fmt)
@@ -138,7 +155,14 @@ def extract_result_blocks(
                             )
                         )
                         blocks.append(
-                            (rank, urljoin(burl, u), t, fmt, digest, bid)
+                            (
+                                rank,
+                                urljoin(burl, u) if burl is not None else u,
+                                t,
+                                fmt,
+                                digest,
+                                bid,
+                            )
                         )
                     won_rule, won_blocks = order, blocks
                     break
@@ -211,9 +235,6 @@ def extract_payload_query(
     clean_text is non-null; rows with null payloads are skipped. Output:
     (id_col, query, rule) with query/rule null when nothing parsed (the
     reference marks those should_parse=False with no query)."""
-
-    from archive_query_log_spark.crawler.codec import decode, decode_serp_payload
-
     compiled = [
         (
             r.rule_order,
@@ -233,18 +254,10 @@ def extract_payload_query(
         q_out, r_out = [], []
         for burl, prov, buf in zip(base_url, provider, payload):
             query, won = None, None
-            if buf is not None:
-                try:
-                    decoded = [
-                        (u, t, decode(img)[0])
-                        for u, t, img in decode_serp_payload(bytes(buf))
-                    ]
-                except Exception:
-                    decoded = []
+            decoded = _decode_payload(buf)
+            if decoded:
                 for order, rp, rx, sel, rm, sp in compiled:
-                    if rp is not None and rp != prov:
-                        continue
-                    if rx is not None and not rx.match(burl):
+                    if not _applicable(rp, rx, prov, burl):
                         continue
                     for u, t, fmt in decoded:
                         if not sel(u, t, fmt):

@@ -148,6 +148,15 @@ _RULE_FIELDS = (
     "remove_pattern", "space_pattern",
 )
 
+# the rule-struct DDL, derived from _RULE_FIELDS so the two never drift
+_RULE_ARRAY_TYPE = (
+    "array<struct<"
+    + ",".join(
+        f"{f}:{'int' if f == 'rule_order' else 'string'}" for f in _RULE_FIELDS
+    )
+    + ">>"
+)
+
 
 def apply_cascade_array(
     df,
@@ -191,10 +200,7 @@ def apply_cascade_array(
     univ_arr = (
         F.array(*[_lit_rule(r) for r in univ_rows])
         if univ_rows
-        else F.array().cast(
-            "array<struct<rule_order:int,rule_type:string,argument:string,"
-            "url_pattern:string,remove_pattern:string,space_pattern:string>>"
-        )
+        else F.array().cast(_RULE_ARRAY_TYPE)
     )
     packed = spec.groupBy(F.col("provider_id").alias("_rp")).agg(
         F.collect_list(F.struct(*_RULE_FIELDS)).alias("_prules")
@@ -204,10 +210,7 @@ def apply_cascade_array(
     )
     # merge universal rules in, restore GLOBAL cascade order (array_sort on
     # structs orders by the first field, rule_order)
-    empty_arr = F.array().cast(
-        "array<struct<rule_order:int,rule_type:string,argument:string,"
-        "url_pattern:string,remove_pattern:string,space_pattern:string>>"
-    )
+    empty_arr = F.array().cast(_RULE_ARRAY_TYPE)
     rules_arr = F.array_sort(
         F.concat(F.coalesce(F.col("_prules"), empty_arr), univ_arr)
     )

@@ -86,12 +86,58 @@ def _drop_hot_keys(
 
 
 def hot_key_report(df: DataFrame, key: str, max_df: int) -> DataFrame:
-    """(key, df) rows that _drop_hot_keys would exclude — the dropped-
-    candidate report a pipeline should log/monitor (no silent cap)."""
+    """(key, doc_freq) rows that _drop_hot_keys would exclude — the dropped-
+    candidate report a pipeline should log/monitor (no silent cap). Pass the
+    SAME keyed frame the operator caps: ``shingle_frame(...)`` with key='sh'
+    for jaccard_pairs, ``band_frame(...)`` with key='band' for
+    minhash_lsh_candidates (similarity.hot_buckets covers the LSH buckets)."""
     return (
         df.groupBy(key)
         .agg(F.count("*").alias("doc_freq"))
         .where(F.col("doc_freq") > max_df)
+    )
+
+
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sh): the distinct-shingle frame jaccard_pairs builds candidates
+    from — feed to hot_key_report(key='sh') to see what a max_df cap cuts."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.array_distinct(shingles(F.col(text_col), shingle_k))
+        ).alias("sh"),
+    ).where(F.col("sh").isNotNull())
+
+
+def band_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band): the stacked LSH-band frame minhash_lsh_candidates
+    self-joins — feed to hot_key_report(key='band')."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    band_cols = [
+        F.concat_ws(
+            "_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("id"), *band_cols)
+    return banded.select(
+        "id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band"
+        ),
     )
 
 
@@ -109,29 +155,16 @@ def minhash_lsh_candidates(
     band value = concat of its rows' minhashes; self-equi-join per band —
     the scale-safe alternative to pairwise comparison. Bands shared by more
     than ``max_band_df`` documents are dropped from candidate generation
-    (explicit recall cut; see _drop_hot_keys)."""
-    rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    band_cols = [
-        F.concat_ws(
-            "_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band"),
-    )
+    (explicit recall cut; inspect via hot_key_report(band_frame(df,...),
+    'band', max_band_df))."""
+    stacked = band_frame(df, text_col, id_col, num_perm, bands, shingle_k)
     stacked = _drop_hot_keys(stacked, "band", max_band_df)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
         a.join(b, on="band")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -151,13 +184,9 @@ def jaccard_pairs(
     (boilerplate) are dropped from the FEATURE SPACE (both intersection and
     sizes): the Jaccard is exact over non-boilerplate shingles, pairs for
     non-hot content are unchanged, and the one-hot-shingle df² pair blowup
-    is gone. Count what was dropped via hot_key_report (no silent cap)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(
-            F.array_distinct(shingles(F.col(text_col), shingle_k))
-        ).alias("sh"),
-    ).where(F.col("sh").isNotNull())
+    is gone. Inspect the cut via hot_key_report(shingle_frame(df, ...),
+    'sh', max_df) — no silent cap."""
+    sh = shingle_frame(df, text_col, id_col, shingle_k)
     sh = _drop_hot_keys(sh, "sh", max_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -293,4 +322,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # no silent cap: labels that haven't converged are WRONG (a long
+        # chain would report one component as several) — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+            " — raise max_iter (component diameter exceeds it)"
+        )
     return labels.select(F.col("x").alias("node"), F.col("lbl").alias("cluster_id"))

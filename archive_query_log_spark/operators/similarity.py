@@ -128,7 +128,14 @@ def lsh_signature_udf(dim: int, n_planes: int = 8):
 
     @pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
-        X = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        # null / wrong-width embeddings must not kill the batch: they map to
+        # signature 0, matching the expression path (element_at on a null
+        # array → null projection → every bit's when() falls to 0)
+        vals = v.tolist()
+        X = np.zeros((len(vals), dim), dtype=np.float64)
+        for i, row in enumerate(vals):
+            if row is not None and len(row) == dim:
+                X[i] = row
         bits = (X @ H.T) > 0  # (batch, n_planes)
         return pd.Series(bits.astype(np.int64) @ weights)
 
@@ -266,12 +273,25 @@ def nearest_centroid_udf(centroids: list[list[float]]):
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids, dtype=np.float64)  # (k, dim)
+    dim = C.shape[1]
 
     @pandas_udf("int")
     def _assign(v: pd.Series) -> pd.Series:
-        X = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        # null / wrong-width embeddings must not kill the batch: they map to
+        # a NULL cluster, matching the expression path (null distances →
+        # every when() null → null label)
+        vals = v.tolist()
+        valid = np.array(
+            [row is not None and len(row) == dim for row in vals], dtype=bool
+        )
+        X = np.zeros((len(vals), dim), dtype=np.float64)
+        for i, row in enumerate(vals):
+            if valid[i]:
+                X[i] = row
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+        labels = np.argmin(d2, axis=1).astype(np.float64)
+        labels[~valid] = np.nan
+        return pd.Series(labels).astype("Int32")
 
     return _assign
 

@@ -215,18 +215,10 @@ def test_jaccard_hot_shingle_cap(spark):
     # uncapped on the same data: the boilerplate shingles pair EVERY doc
     uncapped = dedup.jaccard_pairs(df, threshold=0.0, max_df=None)
     assert uncapped.count() > 1000  # 62*61/2 candidate pairs survive
-    # the report names the boilerplate shingles
-    sh = df.select(
-        F.col("doc_id").alias("id"),
-        F.explode(
-            F.array_distinct(
-                __import__(
-                    "archive_query_log_spark.functions.text", fromlist=["shingles"]
-                ).shingles(F.col("text"), 3)
-            )
-        ).alias("sh"),
-    )
-    report = dedup.hot_key_report(sh, "sh", max_df=10).collect()
+    # the report names the boilerplate shingles (via the public frame)
+    report = dedup.hot_key_report(
+        dedup.shingle_frame(df), "sh", max_df=10
+    ).collect()
     assert any(r["sh"] == boiler and r["doc_freq"] == 62 for r in report)
 
 
@@ -281,3 +273,67 @@ def test_connected_components_chains_and_isolates(spark):
     comp = {r["node"]: r["cluster_id"]
             for r in dedup.connected_components(cand).collect()}
     assert comp.get(100) == comp.get(101) == comp.get(102) == 100
+
+
+def test_udf_paths_survive_null_and_ragged_embeddings(spark):
+    """A null or wrong-width embedding must not kill the batch: the matmul
+    signature maps it to 0 (the expression path's value for a null array)
+    and the cluster assignment to NULL (ditto)."""
+    rows = [
+        (0, [1.0] * 8),
+        (1, None),
+        (2, [1.0] * 7),  # ragged
+        (3, [-1.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = {r["vec_id"]: r["lsh"] for r in similarity.with_lsh_signature(
+        df, dim=8, n_planes=4, method="matmul").select("vec_id", "lsh").collect()}
+    assert sig[1] == 0 and sig[2] == 0
+    assert sig[0] != sig[3]  # real vectors still hash apart
+    # null-array expression path gives the same 0
+    e = similarity.with_lsh_signature(
+        df.where("vec_id = 1"), dim=8, n_planes=4, method="expr")
+    assert e.collect()[0]["lsh"] == 0
+    cents = [[0.0] * 8, [5.0] * 8]
+    cl = {r["vec_id"]: r["c"] for r in similarity.with_ivf_cluster(
+        df, cents, out_col="c", method="matmul").select("vec_id", "c").collect()}
+    assert cl[1] is None and cl[2] is None and cl[0] == 0
+    ce = similarity.with_ivf_cluster(
+        df.where("vec_id = 1"), cents, out_col="c", method="expr")
+    assert ce.collect()[0]["c"] is None
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+
+
+def test_blocks_survive_null_url(spark):
+    """A SERP row with a NULL url must not kill the batch: patterned rules
+    skip it, pattern-less rules still extract (relative hrefs kept)."""
+    from archive_query_log_spark.crawler import codec
+    from archive_query_log_spark.operators import blocks as B
+
+    payload = codec.encode_serp_payload(
+        [("r0", "alpha", codec.encode(codec.synth_pixels("n", 8, 8), "png"))]
+    )
+    df = spark.createDataFrame(
+        [("s0", None, "p0", payload)],
+        "serp_id string, url string, provider_id string, payload binary",
+    )
+    rules = [
+        B.BlockRule(0, "all", url_pattern=r"^https://"),  # can't match null
+        B.BlockRule(1, "all"),
+    ]
+    out = B.extract_result_blocks(df, rules).collect()
+    assert len(out) == 1 and out[0]["rule"] == 1 and out[0]["url"] == "r0"
+    q = B.extract_payload_query(
+        df, [B.PayloadQueryRule(0, "all", url_pattern=r"^https://"),
+             B.PayloadQueryRule(1, "all")]
+    ).collect()
+    assert q[0]["query"] == "alpha" and q[0]["rule"] == 1
