@@ -964,6 +964,46 @@ SELECT doc_id, {terms} AS simhash32 FROM hashed GROUP BY doc_id
 """
 
 
+def _simhash_pairs_oracle(
+    max_hamming: int = 6, n_chunks: int = 8, seed: int = 7
+) -> str:
+    width = 32 // n_chunks
+    mask = (1 << width) - 1
+    sig_sql = _simhash_oracle(32, seed).strip()
+    chunk_exprs = ", ".join(
+        f"CAST({c} AS VARCHAR) || '_' || CAST((simhash32 >> {c * width}) & {mask} AS VARCHAR)"
+        for c in range(n_chunks)
+    )
+    return f"""
+WITH sig AS ({sig_sql}),
+stacked0 AS (
+  SELECT doc_id AS id, simhash32 AS sim, unnest([{chunk_exprs}]) AS chunk
+  FROM sig
+),
+-- hot-chunk cap (max_chunk_df=1000): same cut as simhash_near_pairs
+keep AS (SELECT chunk FROM stacked0 GROUP BY chunk HAVING count(*) <= 1000),
+stacked AS (SELECT stacked0.* FROM stacked0 JOIN keep USING (chunk)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+  FROM stacked a JOIN stacked b USING (chunk) WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
+@_q("dedup_simhash_pairs", _simhash_pairs_oracle(6, 8, 7))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the chunk-pigeonhole equi-join (Manku et
+    al.'s table scheme as one exploded join): any pair within hamming ≤
+    n_chunks−1 shares an identical chunk, so candidates never need a cross
+    join; exact hamming (bit_count of xor) verifies."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return dedup.simhash_near_pairs(
+        d, "text", "doc_id", max_hamming=6, n_chunks=8, seed=7
+    )
+
+
 @_q("dedup_simhash", _simhash_oracle(32, 7))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document sketches (portable 32-bit variant; the fast 64-bit

@@ -330,3 +330,70 @@ def connected_components(
             " — raise max_iter (component diameter exceeds it)"
         )
     return labels.select(F.col("x").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    seed: int = 7,
+    n_chunks: int = 4,
+    max_chunk_df: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs via the chunk-pigeonhole join: split the
+    signature into ``n_chunks`` bit ranges — any pair within hamming
+    distance ≤ n_chunks−1 shares at least one identical chunk — so candidate
+    generation is an EQUI-join on (chunk index, chunk value), never a cross
+    join, then exact hamming (bit_count of xor) verifies. The classic
+    simhash-at-scale layout (Manku et al.'s table scheme as one exploded
+    equi-join). Requires max_hamming < n_chunks (pigeonhole guarantee);
+    chunks shared by more than ``max_chunk_df`` docs are dropped (explicit
+    recall cut, same rationale as the shingle/band caps).
+
+    Uses the md5-hash 32-bit signature so the DuckDB oracle is bit-exact
+    (swap in simhash64/xxhash at scale: same plan, stronger hash).
+    """
+    assert max_hamming < n_chunks, "pigeonhole needs max_hamming < n_chunks"
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    sig = simhash32_md5(df, text_col, id_col, seed=seed).select(
+        F.col(id_col).alias("id"), F.col("simhash32").alias("sim")
+    )
+    stacked = sig.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(c),
+                        F.shiftright("sim", c * width).bitwiseAND(mask),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk"),
+    )
+    stacked = _drop_hot_keys(stacked, "chunk", max_chunk_df)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, on="chunk")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+        ).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -337,3 +337,19 @@ def test_blocks_survive_null_url(spark):
              B.PayloadQueryRule(1, "all")]
     ).collect()
     assert q[0]["query"] == "alpha" and q[0]["rule"] == 1
+
+
+def test_simhash_near_pairs_pigeonhole(spark):
+    """Chunk-pigeonhole candidate generation finds exact and near dups
+    (hamming verified), and the pigeonhole precondition is enforced."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.simhash_near_pairs(
+               docs, max_hamming=6, n_chunks=8).collect()}
+    assert got[(0, 3)] == 0  # exact dup
+    assert (0, 1) in got and 0 < got[(0, 1)] <= 6  # near dup (dog vs cat)
+    assert not any({a, b} & {2} for a, b in got)  # unrelated doc pairs with none
+    with _pytest.raises(AssertionError, match="pigeonhole"):
+        dedup.simhash_near_pairs(docs, max_hamming=4, n_chunks=4)
