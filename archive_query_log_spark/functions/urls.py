@@ -93,21 +93,100 @@ def url_query(url: Column | str) -> Column:
     return _query_of(lenient_url(url))
 
 
+# --- non-UTF-8 %XX rescue (CPython ``errors='replace'`` parity) -------------
+#
+# urllib's unquote/parse_qsl percent-decode to BYTES and then utf-8-decode
+# with errors='replace', so a latin-1 escape like '%E9' yields 'caf�'
+# where try_url_decode nulls the whole value. The rescue rewrites the escape
+# text so the byte stream becomes valid UTF-8 with U+FFFD standing exactly
+# where CPython would put it (one replacement per *maximal invalid
+# subsequence*, per the Unicode/W3C rule CPython implements — verified
+# against bytes.decode('utf-8','replace') on lone bytes, truncated prefixes,
+# overlongs, surrogates and >U+10FFFF leads in tests/test_urls.py):
+#   1. protect VALID multi-byte escape sequences ('%'→\x01 sentinel),
+#      longest first;
+#   2. one pass replaces each maximal invalid prefix/lone byte with the
+#      escape of U+FFFD (ordered alternation, longest prefixes first);
+#   3. restore the sentinel.
+# Known limitation: an input string that itself contains a literal \x01
+# control char on this path would have it restored as '%'.
+_CONT = "%[89AB][0-9A-F]"  # UTF-8 continuation byte escape
+
+_PROTECT = [
+    # 4-byte: F0 + 90-BF + 2 conts | F1-F3 + 3 conts | F4 + 80-8F + 2 conts
+    (rf"(?i)%(F0)%([9AB][0-9A-F])%([89AB][0-9A-F])%([89AB][0-9A-F])",
+     "\x01$1\x01$2\x01$3\x01$4"),
+    (rf"(?i)%(F[1-3])%([89AB][0-9A-F])%([89AB][0-9A-F])%([89AB][0-9A-F])",
+     "\x01$1\x01$2\x01$3\x01$4"),
+    (rf"(?i)%(F4)%(8[0-9A-F])%([89AB][0-9A-F])%([89AB][0-9A-F])",
+     "\x01$1\x01$2\x01$3\x01$4"),
+    # 3-byte: E0 + A0-BF + cont | ED + 80-9F + cont | E1-EC,EE,EF + 2 conts
+    (rf"(?i)%(E0)%([AB][0-9A-F])%([89AB][0-9A-F])", "\x01$1\x01$2\x01$3"),
+    (rf"(?i)%(ED)%([89][0-9A-F])%([89AB][0-9A-F])", "\x01$1\x01$2\x01$3"),
+    (rf"(?i)%(E[1-9A-CEF])%([89AB][0-9A-F])%([89AB][0-9A-F])",
+     "\x01$1\x01$2\x01$3"),
+    # 2-byte: C2-DF + cont
+    (rf"(?i)%(C[2-9A-F]|D[0-9A-F])%([89AB][0-9A-F])", "\x01$1\x01$2"),
+]
+
+# maximal invalid subsequences, longest prefixes first; each → one U+FFFD
+_INVALID = (
+    rf"(?i)%F0%[9AB][0-9A-F](?:{_CONT})?"  # truncated F0-lead (1-2 conts)
+    rf"|%F[1-3](?:{_CONT}){{1,2}}"  # truncated F1-F3-lead
+    rf"|%F4%8[0-9A-F](?:{_CONT})?"  # truncated F4-lead
+    rf"|%E0%[AB][0-9A-F]"  # truncated E0-lead
+    rf"|%ED%[89][0-9A-F]"  # truncated ED-lead
+    rf"|%E[1-9A-CEF]%[89AB][0-9A-F]"  # truncated E1-EF-lead
+    rf"|%[C-F][0-9A-F]"  # lone lead (incl. invalid C0/C1/F5-FF)
+    rf"|{_CONT}"  # orphan continuation
+)
+
+
+def _utf8_rescue(escaped: Column) -> Column:
+    """Rewrite non-UTF-8 %XX escapes to U+FFFD escapes (CPython 'replace'
+    parity). Input must already be through _escape_invalid_pct."""
+    c = escaped
+    for pat, repl in _PROTECT:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.regexp_replace(c, _INVALID, "%EF%BF%BD")
+    return F.regexp_replace(c, "\x01", "%")
+
+
+def _try_decode_replace(escaped: Column) -> Column:
+    """try_url_decode with the non-UTF-8 rescue as a per-row fallback.
+
+    Java's URL decoder already substitutes U+FFFD for malformed UTF-8, but
+    draws maximal-subsequence boundaries differently from CPython in a few
+    cases (e.g. the CESU-8 surrogate %ED%A0%80: Java 1×FFFD, CPython 3×).
+    A decode output containing U+FFFD is exactly the signal that an invalid
+    sequence was hit (a literal U+FFFD in the input round-trips identically
+    through the rescue), so only those rows — plus nulls — pay the rescue's
+    regex passes; the hot path stays one JVM intrinsic."""
+    plain = F.try_url_decode(escaped)
+    return F.when(
+        plain.isNull() | plain.contains("�"),
+        F.try_url_decode(_utf8_rescue(escaped)),
+    ).otherwise(plain)
+
+
 def form_decode(value: Column) -> Column:
     """application/x-www-form-urlencoded decode ('+' → space, %XX).
 
     Lenient like the reference's parse_qsl: invalid %-escapes decode to a
-    literal '%' (see _escape_invalid_pct); try_ variant so any residual
-    decode error yields null for THAT row — url_decode under ANSI would fail
-    the whole task (per-row errors must never kill a 10^10-row job).
+    literal '%' (see _escape_invalid_pct) and non-UTF-8 escape bytes decode
+    to U+FFFD exactly like CPython's errors='replace' (see _utf8_rescue);
+    try_ variants so any residual decode error yields null for THAT row —
+    url_decode under ANSI would fail the whole task (per-row errors must
+    never kill a 10^10-row job).
     """
-    return F.try_url_decode(_escape_invalid_pct(value))
+    return _try_decode_replace(_escape_invalid_pct(value))
 
 
 def percent_decode(value: Column) -> Column:
     """urllib.parse.unquote parity: %XX only, '+' preserved, invalid escapes
-    left as literal '%' (same leniency rationale as form_decode)."""
-    return F.try_url_decode(
+    left as literal '%', non-UTF-8 escape bytes → U+FFFD (same leniency
+    rationale as form_decode)."""
+    return _try_decode_replace(
         F.regexp_replace(_escape_invalid_pct(value), r"\+", "%2B")
     )
 
@@ -251,6 +330,106 @@ def url_key_oracle_sql(expr: str) -> str:
         f"(array_to_string(list_reverse(string_split({host}, '.')), ',') || ')' || {path}"
         f" || CASE WHEN len({params}) > 0 THEN '?' || array_to_string({params}, '&') ELSE '' END)"
     )
+
+
+def normalize_http_url(url: Column | str) -> Column:
+    """WHATWG-style URL normalization matching pydantic
+    ``HttpUrl.encoded_string()`` — what the reference's parser cascades see
+    as input (``capture.url.encoded_string()``, parsers/url_query.py:56) —
+    on the raw-URL divergences a crawler actually encounters:
+
+    - scheme and host lowercased ('https://Google.com' → 'https://google.com')
+    - default port stripped (':443' for https, ':80' for http)
+    - empty path → '/' ('https://google.com?q=x' → 'https://google.com/?q=x')
+    - userinfo, path case, query, fragment and %-escapes — even INVALID
+      ones like 'q=100%' — preserved byte-for-byte (pydantic keeps them raw)
+
+    Pure column expressions (JVM intrinsics, codegen-friendly) — run this
+    over the raw frontier BEFORE apply_cascade_* so anchored url_patterns
+    match exactly what the reference matched. Components are carved out
+    with regexes rather than Java's URI parser: parse_url would reject the
+    whole URL on one malformed escape, and the lenient_url shim would
+    rewrite '%'→'%25' where pydantic leaves it untouched. Exact-parity
+    precondition: ASCII host and no unencoded spaces / dot-segments; URLs
+    needing IDNA punycode or path re-encoding go through
+    normalize_http_url_udf().
+    """
+    u = _col(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # everything past the authority, split at the first '?' (before any '#')
+    # and the first '#'
+    tail = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([\s\S]*)$", 1
+    )
+    frag_part = F.regexp_extract(tail, r"(#[\s\S]*)$", 0)  # '' if no '#'
+    # userinfo@ prefix (kept verbatim), host:port remainder
+    userinfo = F.when(
+        authority.contains("@"),
+        F.concat(F.substring_index(authority, "@", 1), F.lit("@")),
+    ).otherwise(F.lit(""))
+    hostport = F.substring_index(authority, "@", -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        hostport.contains(":"), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(None).cast("string"))
+    default_port = F.when(scheme == "https", F.lit("443")).otherwise(
+        F.when(scheme == "http", F.lit("80")).otherwise(
+            F.lit(None).cast("string")
+        )
+    )
+    port_part = F.when(
+        port.isNotNull() & (port != "") & ~port.eqNullSafe(default_port),
+        F.concat(F.lit(":"), port),
+    ).otherwise(F.lit(""))
+    before_frag = F.substring(tail, 1, F.length(tail) - F.length(frag_part))
+    path = F.regexp_extract(before_frag, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query_part = F.regexp_extract(before_frag, r"(\?[\s\S]*)$", 0)
+    return F.when(
+        (scheme == "") | (host == ""),
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            userinfo,
+            host,
+            port_part,
+            path,
+            query_part,
+            frag_part,
+        )
+    )
+
+
+def normalize_http_url_udf():
+    """Exact pydantic ``HttpUrl.encoded_string()`` normalization (IDNA
+    punycode hosts, dot-segment removal, space/%-re-encoding) as an
+    Arrow-batched pandas UDF — the slow-path sibling of normalize_http_url
+    for the minority of URLs outside its precondition. Unparseable URLs
+    (pydantic ValidationError) yield null, mirroring the reference dropping
+    the capture. Requires pydantic (available wherever the reference's own
+    import pipeline runs); raises ImportError at construction otherwise."""
+    from pydantic import HttpUrl  # noqa: F401 — fail fast if unavailable
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(url: pd.Series) -> pd.Series:
+        from pydantic import HttpUrl
+
+        out = []
+        for u in url:
+            if u is None:
+                out.append(None)
+                continue
+            try:
+                out.append(HttpUrl(u).encoded_string())
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return _norm
 
 
 def urljoin_udf():

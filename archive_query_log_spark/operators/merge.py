@@ -30,6 +30,14 @@ from pyspark.sql import functions as F
 from archive_query_log_spark.tables import SnapshotTable, bucket_of
 
 
+def _check_bucket_key(bkey: str, key: str) -> None:
+    if bkey != key:
+        raise ValueError(
+            f"table is bucketed by {bkey!r}, merge key {key!r} — a merge "
+            "keyed off the bucket column would probe the wrong buckets"
+        )
+
+
 def _affected_buckets(updates: DataFrame, key: str, n_buckets: int) -> list[int]:
     """Bucket ids touched by the update keys (≤ n_buckets rows — a metadata-
     sized collect, the MERGE planner's file-pruning step)."""
@@ -64,13 +72,15 @@ def upsert_create_if_absent(
     info = table.bucket_info() if table.exists() else None
     if info is not None:
         bkey, n_buckets, bucket_dirs = info
-        assert bkey == key, f"table is bucketed by {bkey!r}, merge key {key!r}"
+        _check_bucket_key(bkey, key)
         batch = batch.dropDuplicates([key])
         affected = _affected_buckets(batch, key, n_buckets)
         existing = _read_buckets(spark, table, bucket_dirs, affected).select(
             key
         ).dropDuplicates([key])
         fresh = batch.join(existing, on=key, how="left_anti")
+        if fresh.isEmpty():
+            return table.latest_version()
         return table.commit_bucketed(
             fresh, key, n_buckets,
             meta={"op": "create_if_absent", "probed_buckets": affected},
@@ -79,6 +89,8 @@ def upsert_create_if_absent(
     if table.exists():
         existing = table.read(spark).select(key).dropDuplicates([key])
         fresh = batch.dropDuplicates([key]).join(existing, on=key, how="left_anti")
+        if fresh.isEmpty():
+            return table.latest_version()
     else:
         fresh = batch.dropDuplicates([key])
     return table.commit(fresh, op="append", meta={"op": "create_if_absent"})
@@ -100,7 +112,7 @@ def merge_update(
     info = table.bucket_info()
     if info is not None:
         bkey, n_buckets, bucket_dirs = info
-        assert bkey == key, f"table is bucketed by {bkey!r}, merge key {key!r}"
+        _check_bucket_key(bkey, key)
         affected = _affected_buckets(upd, key, n_buckets)
         base = _read_buckets(spark, table, bucket_dirs, affected)
     else:
@@ -136,7 +148,7 @@ def merge_array_union(
     info = table.bucket_info()
     if info is not None:
         bkey, n_buckets, bucket_dirs = info
-        assert bkey == key, f"table is bucketed by {bkey!r}, merge key {key!r}"
+        _check_bucket_key(bkey, key)
         affected = _affected_buckets(inc, key, n_buckets)
         base = _read_buckets(spark, table, bucket_dirs, affected)
     else:

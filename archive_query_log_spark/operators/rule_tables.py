@@ -18,6 +18,16 @@ Match-semantics shim: the reference applies ``url_pattern`` with
 and DuckDB ``regexp_matches`` are find-anywhere, so every pattern is wrapped
 as ``^(?:...)`` here (wrapping, not just prefixing, keeps top-level
 alternations anchored).
+
+Input-normalization precondition: the reference matches against
+``capture.url.encoded_string()`` — pydantic's WHATWG-normalized form
+(lowercased/punycoded host, default '/' path, default port stripped), NOT
+the raw URL (url_query.py:56). Feed raw frontier URLs through
+``functions.urls.normalize_http_url`` (pure columns; ASCII hosts) or
+``normalize_http_url_udf`` (pydantic-exact) before apply_cascade_*, or an
+anchored pattern the reference would match can miss
+(e.g. ``https://Google.com?q=x``). Raw-variant parity gate:
+tests/test_reference_rules.py::test_cascade_on_raw_urls_via_normalization.
 """
 
 from __future__ import annotations

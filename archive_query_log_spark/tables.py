@@ -128,13 +128,20 @@ class SnapshotTable:
 
         This is the explicit stand-in for Iceberg's bucket-partitioned
         MERGE INTO (copy-on-write rewrites only matching files)."""
-        assert bucket_mode in ("replace", "append")
+        if bucket_mode not in ("replace", "append"):
+            raise ValueError(f"bucket_mode must be replace|append, got {bucket_mode!r}")
         self.snap_dir.mkdir(parents=True, exist_ok=True)
         parent = self.latest_version()
         if parent is not None:
             pm = self._manifest(parent)
-            assert pm.get("bucket_key") in (None, key), "bucket key changed"
-            assert pm.get("n_buckets") in (None, n_buckets), "bucket count changed"
+            if pm.get("bucket_key") not in (None, key):
+                raise ValueError(
+                    f"bucket key changed: {pm.get('bucket_key')!r} -> {key!r}"
+                )
+            if pm.get("n_buckets") not in (None, n_buckets):
+                raise ValueError(
+                    f"bucket count changed: {pm.get('n_buckets')} -> {n_buckets}"
+                )
         version = (parent + 1) if parent is not None else 0
         file_dir = self.data_dir / f"v{version}-{uuid.uuid4().hex[:8]}"
         out = df.withColumn(BUCKET_COL, bucket_of(key, n_buckets))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -305,19 +306,19 @@ def main():
         # (verified by re-running the round-1 commit: identical t2, -26% t8)
         # — one unlucky window would misreport the engine's scaling.
         n_sc = n_frontier
+        # fixed window count (no early stop): an adaptive break keyed above
+        # the pass gate is an optional-stopping rule that biases the
+        # estimator; with a symmetric design both best-of-windows and
+        # median-of-windows are honest and both are reported.
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPEATS", "2"))
         t2s, t8s = [], []
-        for attempt in range(repeats):
+        for _attempt in range(repeats):
             t2s.append(crawl_subprocess("local[2]", n_sc, n_sc // 10, True))
             t8s.append(crawl_subprocess("local[8]", n_sc, n_sc // 10, True))
-            best2 = max(r["urls_per_sec"] for r in t2s)
-            best8 = max(r["urls_per_sec"] for r in t8s)
-            # adaptive: stop once the pair looks uncontended — extra windows
-            # only buy anything when a leg hit a contention window
-            if best8 / (4.0 * best2) >= 0.85:
-                break
         t2 = max(t2s, key=lambda r: r["urls_per_sec"])
         t8 = max(t8s, key=lambda r: r["urls_per_sec"])
+        med2 = statistics.median(r["urls_per_sec"] for r in t2s)
+        med8 = statistics.median(r["urls_per_sec"] for r in t8s)
         t32 = main_run if CPUS == 32 else crawl_subprocess(
             "local[32]", n_sc, n_sc // 10, True
         )
@@ -331,6 +332,9 @@ def main():
             "efficiency_8_vs_4x2": round(
                 t8["urls_per_sec"] / (4.0 * t2["urls_per_sec"]), 3
             ),
+            # median-of-windows companion figure: robust to a lucky best
+            # window the same way best-of is robust to an unlucky one
+            "efficiency_8_vs_4x2_median": round(med8 / (4.0 * med2), 3),
             # same box 8→32: includes single-socket memory-bandwidth
             # contention a real 4N-node cluster would not have
             "efficiency_32_vs_4x8": round(
@@ -338,7 +342,8 @@ def main():
             ),
             "method": (
                 "same job, fresh JVM subprocesses, identical partitioning;"
-                f" N/4N legs best of {repeats} interleaved windows"
+                f" N/4N legs over {repeats} fixed interleaved windows"
+                " (no adaptive stop); best-of and median-of both reported"
             ),
             "t2_windows": [r["urls_per_sec"] for r in t2s],
             "t8_windows": [r["urls_per_sec"] for r in t8s],

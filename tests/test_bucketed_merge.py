@@ -109,6 +109,23 @@ def test_create_if_absent_bucketed_appends_only_probed_buckets(spark, tmp_path):
     got = {r["k"]: r["val"] for r in t.read(spark).collect()}
     assert got[3] == "v3"  # existing key untouched (create-if-absent)
     assert got[500] == "new" and len(got) == 201
-    # idempotent replay: no duplicates
-    merge.upsert_create_if_absent(spark, t, batch, key="k")
+    # idempotent replay: no duplicates AND no new snapshot version
+    v_before = t.latest_version()
+    v_replay = merge.upsert_create_if_absent(spark, t, batch, key="k")
+    assert v_replay == v_before == t.latest_version()
     assert t.read(spark).count() == 201
+
+
+def test_bucketed_merge_wrong_key_raises(spark, tmp_path):
+    t = _mk_table(spark, tmp_path, "wrongkey")
+    batch = spark.createDataFrame(
+        [(1, "x", ["a"])], "k long, val string, tags array<string>"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="bucketed by"):
+        merge.upsert_create_if_absent(spark, t, batch, key="val")
+    with pytest.raises(ValueError, match="bucketed by"):
+        merge.merge_update(spark, t, batch, key="val", set_cols=["k"])
+    with pytest.raises(ValueError, match="bucketed by"):
+        merge.merge_array_union(spark, t, batch, key="val", array_cols=["tags"])

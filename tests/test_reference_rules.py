@@ -133,6 +133,73 @@ def test_array_plan_matches_reference(spark, corpus, corpus_df, table, field,
     assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
 
 
+def _denormalize(url: str, mode: int) -> str:
+    """Mint a raw (un-normalized) variant whose HttpUrl normalization is
+    exactly `url` — what a crawler frontier would actually carry."""
+    scheme, _, rest = url.partition("://")
+    if "@" in rest.split("/", 1)[0]:
+        userinfo, rest = rest.split("@", 1)
+        userinfo += "@"
+    else:
+        userinfo = ""
+    for i, ch in enumerate(rest):
+        if ch in "/?#":
+            host, tail = rest[:i], rest[i:]
+            break
+    else:
+        host, tail = rest, ""
+    if mode % 2 == 0:
+        host = host.upper()
+        scheme = scheme.upper()
+    if mode % 3 == 0 and ":" not in host:
+        host += ":443" if scheme.lower() == "https" else ":80"
+    if tail.startswith("/") and (len(tail) == 1 or tail[1] in "?#"):
+        tail = tail[1:]  # default '/' path made implicit
+    return f"{scheme}://{userinfo}{host}{tail}"
+
+
+def test_cascade_on_raw_urls_via_normalization(spark, corpus, corpus_df):
+    """The reference cascades match against pydantic's
+    HttpUrl.encoded_string(), not the raw URL — a raw
+    'https://Google.com?q=x' must still hit anchored patterns. Gate:
+    normalize_http_url() over de-normalized (raw) corpus variants
+    reproduces the stored normalized URL bit-for-bit (pydantic re-checked
+    in-test), and the url_query cascade over the normalized column yields
+    the reference goldens."""
+    from pydantic import HttpUrl
+
+    from archive_query_log_spark.functions.urls import normalize_http_url
+
+    raws = []
+    for i, r in enumerate(corpus["rows"]):
+        raw = _denormalize(r["url"], i)
+        # true oracle: pydantic agrees the raw variant normalizes back
+        assert HttpUrl(raw).encoded_string() == r["url"], (raw, r["url"])
+        raws.append((r["capture_id"], r["provider_id"], raw))
+    raw_df = spark.createDataFrame(
+        raws, "capture_id string, provider_id string, raw_url string"
+    ).repartition(8)
+    norm = raw_df.select(
+        "capture_id",
+        "provider_id",
+        normalize_http_url("raw_url").alias("url"),
+    )
+    stored = {r["capture_id"]: r["url"] for r in corpus["rows"]}
+    bad_norm = [
+        (r["capture_id"], r["url"], stored[r["capture_id"]])
+        for r in norm.collect()
+        if r["url"] != stored[r["capture_id"]]
+    ]
+    assert not bad_norm, f"{len(bad_norm)} normalization diffs: {bad_norm[:5]}"
+    got = _run_cascade(spark, norm, "url_query", as_int=False)
+    bad = [
+        (r["url"], got[r["capture_id"]], (r["url_query"], r["q_rule"]))
+        for r in corpus["rows"]
+        if got[r["capture_id"]] != (r["url_query"], r["q_rule"])
+    ]
+    assert not bad, f"{len(bad)} cascade mismatches on raw input: {bad[:5]}"
+
+
 def test_array_plan_zero_data_side_exchanges(spark, corpus_df):
     """Plan audit: the data side of apply_cascade_array is scan → broadcast
     hash join → project; the only exchanges sit on the tiny rules side

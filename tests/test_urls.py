@@ -3,6 +3,7 @@
 
 from urllib.parse import parse_qsl, urlsplit
 
+import pytest
 from pyspark.sql import functions as F
 
 from archive_query_log_spark.functions import urls
@@ -154,3 +155,100 @@ def test_parse_qsl_first_random_parity(spark):
     for n, qs, key in cases:
         exp = next((v for k, v in parse_qsl(qs) if k == key), None)
         assert got[n] == exp, (qs, key, got[n], exp)
+
+
+def test_non_utf8_escape_decode_parity(spark):
+    """CPython errors='replace' parity: percent_decode must agree with
+    urllib.parse.unquote on non-UTF-8 %XX escapes — one U+FFFD per maximal
+    invalid subsequence (lone latin-1 bytes, truncated multi-byte prefixes,
+    overlongs, surrogates, >U+10FFFF leads), valid sequences untouched."""
+    import random
+
+    from urllib.parse import parse_qsl, unquote
+
+    from pyspark.sql import functions as F
+
+    fixed = [
+        "caf%E9", "%E9", "a%E9b", "%C3%A9", "%E0%A0", "%E0%A0%80", "%F0%9F",
+        "%F0%9F%92", "%F0%9F%92%A9", "%C0%80", "%E9%E9", "%E0%80", "%C2",
+        "%F4%90%80%80", "%ED%A0%80", "%F1%80", "%F1%80%80", "%F1%80%80%80",
+        "%BF", "%FF", "%C3%A9%E9", "%e9", "%c3%a9", "x%80y", "%41%E9%42",
+        "100%", "%2Gb", "%E9%ZZ", "%ED%9F%BF", "%EE%80%80", "%F4%8F%BF%BF",
+    ]
+    random.seed(13)
+    pool = ["%E9", "%C3", "%A9", "%80", "%BF", "%F0", "%9F", "%92", "%ED",
+            "%A0", "%E0", "%F4", "%8F", "%C0", "%FF", "a", "Z", "%", "%2G"]
+    fuzz = ["".join(random.choice(pool) for _ in range(random.randint(1, 8)))
+            for _ in range(300)]
+    cases = fixed + fuzz
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "n long, s string")
+    got = {
+        r["n"]: r["v"]
+        for r in df.select(
+            "n", urls.percent_decode(F.col("s")).alias("v")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == unquote(c), (c, got[i], unquote(c))
+
+    # and through the full query-param path (parse_qsl uses the same decode)
+    qdf = spark.createDataFrame(
+        [(i, f"https://x.com/s?q={c}") for i, c in enumerate(fixed)],
+        "n long, url string",
+    )
+    qgot = {
+        r["n"]: r["q"]
+        for r in qdf.select(
+            "n", urls.parse_url_query_parameter("q", "url").alias("q")
+        ).collect()
+    }
+    for i, c in enumerate(fixed):
+        exp = next((v for k, v in parse_qsl(f"q={c}") if k == "q"), None)
+        assert qgot[i] == exp, (c, qgot[i], exp)
+
+
+def test_normalize_http_url_matches_pydantic(spark):
+    """normalize_http_url (pure columns) and normalize_http_url_udf
+    (pydantic-exact) both reproduce HttpUrl.encoded_string() — the form the
+    reference cascades match against — inside/beyond the column op's
+    ASCII-host precondition respectively."""
+    pydantic = pytest.importorskip("pydantic")
+    from pydantic import HttpUrl
+
+    column_cases = [
+        "https://Google.com?q=x",
+        "HTTPS://EXAMPLE.COM/Path/Q?A=b#Frag",
+        "https://example.com",
+        "https://example.com:443/x",
+        "http://example.com:80/",
+        "http://example.com:8080/",
+        "https://user:pw@Example.com/p",
+        "https://example.com/%e9",
+        "https://example.com/?q=%E9",
+        "https://x.com/?",
+        "https://x.com/p#",
+        "https://x.com/a//b/",
+        "https://x.com/p?a=1&b=2#sec",
+        "http://X.com:80?q=1",
+    ]
+    udf_only_cases = [
+        "https://münchen.de/straße?q=ä",  # IDNA punycode host
+        "https://example.com/a b/c",  # unencoded space re-encoding
+        "https://example.com/./a/../b",  # dot-segment removal
+        "not a url",  # unparseable → null
+    ]
+    df = spark.createDataFrame([(c,) for c in column_cases], "url string")
+    for r in df.select("url", urls.normalize_http_url("url").alias("n")).collect():
+        assert r["n"] == HttpUrl(r["url"]).encoded_string(), r["url"]
+
+    udf = urls.normalize_http_url_udf()
+    df2 = spark.createDataFrame(
+        [(c,) for c in column_cases + udf_only_cases], "url string"
+    )
+    for r in df2.select("url", udf("url").alias("n")).collect():
+        try:
+            exp = HttpUrl(r["url"]).encoded_string()
+        except Exception:
+            exp = None
+        assert r["n"] == exp, (r["url"], r["n"], exp)
