@@ -787,6 +787,28 @@ def u2_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
+# DuckDB twins of the lang-id / quality scoring (shared by the text_* entries
+# and the e2e dedup pipeline oracle)
+_LANG_SQL_SETS = {
+    lang: "[" + ",".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in T.STOPWORDS.items()
+}
+_LANG_HITS = {
+    lang: (
+        f"len(list_filter(string_split(lower(trim(text)), ' '),"
+        f" t -> list_contains({arr}, t)))"
+    )
+    for lang, arr in _LANG_SQL_SETS.items()
+}
+_LANG_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(T.STOPWORDS)) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_BEST + " <= 0 THEN NULL "
+    + " ".join(
+        f"WHEN h_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(T.STOPWORDS)
+    )
+    + " END"
+)
+
 
 @_q(
     "dedup_exact",
@@ -932,6 +954,129 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", num_perm=8, bands=4, shingle_k=3
     )
     return dedup.connected_components(pairs)
+
+
+def _dedup_pipeline_oracle(num_perm: int = 8, bands: int = 4) -> str:
+    """DuckDB twin of operators/dedup.py:dedup_pipeline — chains the proven
+    per-stage oracles (exact-dedup QUALIFY, minhash/band CTEs, jaccard
+    verify, recursive-CTE components, lang/quality filters) over the full
+    documents table."""
+    rows = num_perm // bands
+    mins = ",\n         ".join(
+        f"min(('0x' || substr(md5('{s}:' || sh), 1, 8))::UBIGINT)::BIGINT AS mh_{s}"
+        for s in range(num_perm)
+    )
+    band_exprs = ", ".join(
+        "CAST({b} AS VARCHAR) || '_' || ".format(b=b)
+        + " || '_' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        for b in range(bands)
+    )
+    lang_hits = ", ".join(
+        f"{expr} AS h_{lang}" for lang, expr in _LANG_HITS.items()
+    )
+    return f"""
+WITH RECURSIVE
+surv AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5({_NORM}) ORDER BY doc_id) = 1
+),
+toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts FROM surv),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+  FROM toks WHERE len(ts) >= 3
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded0 AS (SELECT doc_id, unnest([{band_exprs}]) AS band FROM sig),
+bkeep AS (SELECT band FROM banded0 GROUP BY band HAVING count(*) <= 1000),
+banded AS (SELECT banded0.* FROM banded0 JOIN bkeep USING (band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id
+),
+dsh AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+  FROM toks WHERE len(ts) >= 3
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM dsh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c JOIN dsh a ON a.id = c.id_a
+  JOIN dsh b ON b.id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(inter / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+vnodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(rsrc, dst) AS (
+  SELECT n, n FROM vnodes
+  UNION
+  SELECT r.rsrc, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+clusters AS (SELECT rsrc AS node, min(dst) AS cluster_id FROM reach GROUP BY rsrc),
+csize AS (SELECT cluster_id, count(*) AS n_dups FROM clusters GROUP BY cluster_id),
+kept AS (
+  SELECT surv.doc_id, surv.text, coalesce(csize.n_dups, 1) AS n_dups
+  FROM surv LEFT JOIN csize ON surv.doc_id = csize.cluster_id
+  WHERE surv.doc_id NOT IN
+        (SELECT node FROM clusters WHERE node != cluster_id)
+),
+feat AS (
+  SELECT doc_id, n_dups, {lang_hits},
+         CAST(len(string_split(lower(trim(text)), ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+              t -> list_contains({_LANG_SQL_SETS["en"]}, t))) AS DOUBLE) AS sw,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr
+  FROM kept
+),
+scored AS (
+  SELECT doc_id, n_dups, {_LANG_CASE} AS lang_pred,
+         round((least(n_tok / 64.0, 1.0)
+              + least(sw / greatest(n_tok, 1.0) * 4.0, 1.0)
+              + (1.0 - least(pr * 5.0, 1.0))) / 3.0, 6) AS quality
+  FROM feat
+)
+SELECT doc_id, n_dups, lang_pred, quality FROM scored
+WHERE lang_pred IS NOT NULL AND quality >= 0.3
+"""
+
+
+@_q("dedup_pipeline_e2e", _dedup_pipeline_oracle(8, 4))
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM-training-data dedup showcase over the FULL
+    documents table: exact dedup → MinHash-LSH candidates → exact-Jaccard
+    verify → connected components (large-star/small-star) → keep min-id
+    representative per cluster → language + quality gate. Composes
+    operators/dedup.py:dedup_pipeline with functions/text.py scoring — each
+    stage independently oracle-gated by its own entry, this entry gates the
+    composition."""
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup.dedup_pipeline(
+        d, "text", "doc_id", num_perm=8, bands=4, shingle_k=3,
+        jaccard_threshold=0.5,
+    )
+    scored = kept.select(
+        "doc_id",
+        "n_dups",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    return scored.where(
+        F.col("lang_pred").isNotNull() & (F.col("quality") >= 0.3)
+    )
 
 
 @_q("dedup_lsh_candidate_pairs", _lsh_pairs_oracle(8, 4))
@@ -1196,27 +1341,6 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).alias("n_tokens"),
         T.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
     )
-
-
-_LANG_SQL_SETS = {
-    lang: "[" + ",".join(f"'{w}'" for w in ws) + "]"
-    for lang, ws in T.STOPWORDS.items()
-}
-_LANG_HITS = {
-    lang: (
-        f"len(list_filter(string_split(lower(trim(text)), ' '),"
-        f" t -> list_contains({arr}, t)))"
-    )
-    for lang, arr in _LANG_SQL_SETS.items()
-}
-_LANG_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in sorted(T.STOPWORDS)) + ")"
-_LANG_CASE = (
-    "CASE WHEN " + _LANG_BEST + " <= 0 THEN NULL "
-    + " ".join(
-        f"WHEN h_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in sorted(T.STOPWORDS)
-    )
-    + " END"
-)
 
 
 @_q(
@@ -2076,6 +2200,7 @@ _GATE_ORDER: list[str] = [
     "dedup_lsh_candidate_pairs",
     "dedup_simhash_pairs",
     "dedup_simhash",
+    "dedup_pipeline_e2e",
     "ann_near_dup_pairs",
     "ann_ivf_topk",
     "ann_bruteforce_topk",
@@ -2085,7 +2210,6 @@ _GATE_ORDER: list[str] = [
     "text_fingerprint",
     "a6_sum_by_key",
     "o3_random_sample",
-    "a5_auto_histogram",
 ]
 
 

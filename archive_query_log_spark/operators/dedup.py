@@ -214,6 +214,97 @@ def jaccard_pairs(
     )
 
 
+def verify_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard VERIFICATION of given candidate pairs (the stage after
+    LSH banding: candidates are cheap and over-complete, so each is checked
+    against the true shingle-set Jaccard before clustering).
+
+    Plan: pairs ⋈ shingle-frame on each side (two equi-joins), count the
+    shared shingles per pair, join per-doc sizes. Work is proportional to
+    Σ_pairs |shingles(a) ∩ shingles(b)| — bounded by the LSH candidate
+    volume, never all-pairs. No feature-space cap here: the pair list is
+    already capped upstream (max_band_df), and the verify must judge the
+    full shingle sets or a boilerplate-heavy true dup could be rejected."""
+    sh = shingle_frame(df, text_col, id_col, shingle_k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(
+            sh_b,
+            (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The end-to-end training-data dedup a 100 TB corpus actually runs,
+    composed from the per-stage operators (each independently oracle-gated):
+
+    exact dedup (fingerprint hash-groupBy) → MinHash-LSH candidate pairs →
+    exact-Jaccard verify → connected components (large-star/small-star) →
+    keep the min-id representative per duplicate cluster.
+
+    Returns (doc_id, text_col, n_dups) — one row per kept document with its
+    duplicate-cluster size (1 = unique). Every stage is an equi-join /
+    hash-agg plan: nothing here is all-pairs, collect()s are absent, and
+    the cluster step is O(log n) rounds, so the composition inherits each
+    stage's scale story."""
+    survivors = exact_dedup(df, text_col, id_col).drop("fp")
+    pairs = minhash_lsh_candidates(
+        survivors, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k,
+    )
+    verified = verify_jaccard_pairs(
+        survivors, pairs, text_col, id_col, shingle_k=shingle_k,
+        threshold=jaccard_threshold,
+    )
+    clusters = connected_components(verified)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_dups"))
+    non_reps = clusters.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    kept = survivors.join(non_reps, on=id_col, how="left_anti")
+    return kept.join(
+        sizes.withColumnRenamed("cluster_id", id_col), on=id_col, how="left"
+    ).withColumn("n_dups", F.coalesce(F.col("n_dups"), F.lit(1)))
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document (xxhash64 token hashes — the fast path).
 
@@ -276,21 +367,38 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
+    method: str = "star",
 ) -> DataFrame:
     """Duplicate-CLUSTER assignment: connected components over candidate
     pairs, labels = min doc id per component → (node, cluster_id). The
     "keep one document per duplicate cluster" step that follows pairwise
     candidate generation in a training-data dedup pipeline.
 
-    Plan: min-label propagation — per iteration ONE equi-join of the
-    (undirected) edge list against current labels + a min agg, with
-    localCheckpoint() to cut lineage (iterative plans otherwise grow
-    exponentially). Iterations = max component diameter; near-dup clusters
-    are shallow (dozens of docs, diameter ≤ a few hops), so this converges
-    in 2-4 rounds at any scale. Deterministic (min label), so the DuckDB
-    oracle reproduces it with a recursive CTE.
+    method='star' (default, the 100 TB plan): alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — each round is two
+    groupBy-min + join passes over the shrinking edge list and the round
+    count is O(log n) in the worst case, so an adversarial 10^6-node chain
+    (spam mirror rings, boilerplate chains) finishes in ~20 rounds where
+    diameter-bound label propagation needs 10^6.
+
+    method='minlabel': per-iteration min-label propagation — ONE equi-join
+    + min agg per round, converging in O(component diameter) rounds. Kept
+    as the small-scale twin because its per-round plan is the cheapest when
+    clusters are shallow, and it mirrors the recursive-CTE oracle
+    step-for-step.
+
+    Both are deterministic (labels = component-min id, independent of
+    partitioning), interchangeable bit-for-bit — equality-tested on chains,
+    rings, stars and random graphs — and fail loudly on non-convergence
+    rather than returning a silently-split component. localCheckpoint()
+    cuts lineage each round (iterative plans otherwise grow exponentially).
     """
+    if method == "star":
+        return _cc_star(pairs, id_a, id_b, max_iter)
+    if method != "minlabel":
+        raise ValueError(f"method must be star|minlabel, got {method!r}")
     fwd = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
     edges = fwd.union(
         fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))
@@ -330,6 +438,99 @@ def connected_components(
             " — raise max_iter (component diameter exceeds it)"
         )
     return labels.select(F.col("x").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int, int]:
+    """(count, sum-hash, xor-ish-hash) fixpoint signature of an edge set —
+    one agg pass, order/partitioning-independent."""
+    h = F.xxhash64(F.col("x"), F.col("y"))
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(h.cast("decimal(38,0)")), F.lit(0)).alias("s"),
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("s2"),
+    ).collect()[0]
+    return (row["n"], row["s"], row["s2"])
+
+
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Per round (both halves are groupBy-min + equi-join, no row explosion
+    beyond the edge list itself):
+
+    - large-star: for each node u, m = min(Γ(u) ∪ {u}); every neighbor
+      v > u re-points to m → edges (v, m).
+    - small-star: orient each edge large→small; for each node u,
+      m = min(smaller-neighbors ∪ {u}); u and all its smaller neighbors
+      point to m → edges (v, m) ∪ (u, m).
+
+    Fixpoint when a round leaves the edge set unchanged (count + two
+    hash checksums in one agg pass); the surviving edges form stars whose
+    roots are the component minima.
+    """
+    fwd = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y")).where(
+        F.col(id_a) != F.col(id_b)
+    )
+    nodes = (
+        fwd.select("x").union(
+            pairs.select(F.col(id_b).alias("x"))
+        ).distinct().localCheckpoint()
+    )
+    edges = fwd.distinct().localCheckpoint()
+    sig = _edge_checksum(edges)
+    for _ in range(max_iter):
+        # --- large-star ---
+        sym = edges.union(
+            edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        m = sym.groupBy("x").agg(
+            F.least(F.min("y"), F.first("x")).alias("m")
+        )
+        edges = (
+            sym.where(F.col("y") > F.col("x"))
+            .join(m, on="x")
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .distinct()
+        )
+        # --- small-star ---
+        oriented = edges.select(
+            F.greatest("x", "y").alias("x"), F.least("x", "y").alias("y")
+        )
+        ms = oriented.groupBy("x").agg(F.min("y").alias("m"))
+        joined = oriented.join(ms, on="x")
+        edges = (
+            joined.select(F.col("y").alias("x"), F.col("m").alias("y"))
+            .union(joined.select(F.col("x"), F.col("m").alias("y")))
+            .where(F.col("x") != F.col("y"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _edge_checksum(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iter}"
+            " rounds — pathological input (rounds are O(log n), so this"
+            " indicates a bug or a graph far larger than max_iter=50 covers)"
+        )
+    # final edges are (node → component-min) stars; isolated nodes (from
+    # self-loop-only input rows) label themselves
+    labels = edges.select(
+        F.col("x").alias("node"), F.col("y").alias("cluster_id")
+    ).union(
+        edges.select(F.col("y").alias("node"), F.col("y").alias("cluster_id"))
+    ).distinct()
+    isolated = nodes.join(
+        labels.select(F.col("node").alias("x")), on="x", how="left_anti"
+    )
+    return labels.union(
+        isolated.select(F.col("x").alias("node"), F.col("x").alias("cluster_id"))
+    )
 
 
 def simhash_near_pairs(

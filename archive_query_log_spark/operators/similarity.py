@@ -222,7 +222,15 @@ def build_ivf_centroids(
     Centroid count is small by design (the index is metadata, rows stay
     distributed); at 100 TB the assign step is one map-only pass per
     iteration and the update is one groupBy.
-    """
+
+    The Lloyd update is dim-INDEPENDENT in plan width: posexplode(vec) →
+    groupBy(cluster, pos).avg — 2 grouping columns and 1 aggregate at any
+    dim, where the earlier per-dimension unroll (element_at × dim, avg ×
+    dim) was a 768-column aggregate at embedding width. The collect is
+    n_centroids × dim rows — still metadata-sized. Assignment reuses
+    with_ivf_cluster's dim-aware dispatcher (unrolled expr under the term
+    budget, numpy-matmul Arrow UDF beyond), so the builder works at dim 768
+    without a plan blowup on either step."""
     from archive_query_log_spark.functions.ids import md5_rand
 
     seeds = (
@@ -233,20 +241,22 @@ def build_ivf_centroids(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
     for _ in range(n_iter):
-        assigned = embeddings.select(
-            F.col(vec_col),
-            _nearest_centroid(F.col(vec_col), centroids).alias("c"),
+        assigned = with_ivf_cluster(
+            embeddings.select(vec_col), centroids, vec_col=vec_col, out_col="c"
         )
         means = (
-            assigned.select(
-                "c", *[F.element_at(vec_col, d + 1).alias(f"x{d}") for d in range(dim)]
-            )
-            .groupBy("c")
-            .agg(*[F.avg(f"x{d}").alias(f"x{d}") for d in range(dim)])
+            assigned.select("c", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("c", "pos")
+            .agg(F.avg("val").alias("avg_val"))
             .collect()
         )
+        by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
-            centroids[int(r["c"])] = [float(r[f"x{d}"]) for d in range(dim)]
+            by_cluster.setdefault(int(r["c"]), {})[int(r["pos"])] = float(
+                r["avg_val"]
+            )
+        for c, pos_vals in by_cluster.items():
+            centroids[c] = [pos_vals[d] for d in range(dim)]
     return centroids
 
 

@@ -111,6 +111,48 @@ def test_ivf_topk_recall(spark):
     assert cents == build_ivf_centroids(df, dim=8, n_centroids=4)
 
 
+def test_build_ivf_centroids_dim768(spark):
+    """The Lloyd update is dim-independent (posexplode → groupBy(c, pos)),
+    so the builder runs at real embedding width without a 768-column
+    aggregate; assignment auto-dispatches to the matmul UDF above the
+    expression term budget. Centroid means are verified against numpy."""
+    import numpy as np
+
+    from archive_query_log_spark.operators.similarity import (
+        build_ivf_centroids,
+        nearest_centroid_udf,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 768
+    vecs = np.vstack([rng.normal(0, 1, (40, dim)) + 6,
+                      rng.normal(0, 1, (40, dim)) - 6])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = build_ivf_centroids(df, dim=dim, n_centroids=2, n_iter=2)
+    assert len(cents) == 2 and all(len(c) == dim for c in cents)
+    # after 2 Lloyd steps on well-separated blobs, each centroid sits on a
+    # blob mean: assignment of every vector must be pure per blob
+    assign = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", nearest_centroid_udf(cents)("embedding").alias("c")
+        ).collect()
+    }
+    blob0 = {assign[i] for i in range(40)}
+    blob1 = {assign[i] for i in range(40, 80)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    lbl0, lbl1 = blob0.pop(), blob1.pop()
+    np.testing.assert_allclose(
+        np.array(cents[lbl0]), vecs[:40].mean(axis=0), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.array(cents[lbl1]), vecs[40:].mean(axis=0), atol=1e-9
+    )
+
+
 def test_cosine_topk_and_lsh(spark):
     import numpy as np
 
@@ -310,7 +352,47 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iter=2)
+        dedup.connected_components(chain, max_iter=2, method="minlabel")
+
+
+def test_connected_components_star_long_chain(spark):
+    """The large-star/small-star default is O(log n) rounds: a planted
+    1000-node chain — which exceeds any practical diameter bound for
+    min-label propagation (would need 999 iterations) — converges within
+    the default round budget and labels every node with the chain minimum."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    ).repartition(8)
+    got = dedup.connected_components(chain)  # method='star' default
+    rows = got.collect()
+    assert len(rows) == 1000
+    assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_connected_components_star_equals_minlabel(spark):
+    """star and minlabel are interchangeable bit-for-bit on chains, rings,
+    stars, cliques and a seeded random graph."""
+    import random
+
+    random.seed(5)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(12)],
+        "ring": [(i, (i + 1) % 10) for i in range(10)],
+        "star": [(50, 50 + i) for i in range(1, 8)],
+        "clique+isolate": [(i, j) for i in range(4) for j in range(i)]
+        + [(99, 99)],
+        "random": [
+            (random.randrange(60), random.randrange(60)) for _ in range(80)
+        ],
+    }
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = {r["node"]: r["cluster_id"]
+             for r in dedup.connected_components(pairs, method="star").collect()}
+        b = {r["node"]: r["cluster_id"]
+             for r in dedup.connected_components(
+                 pairs, method="minlabel").collect()}
+        assert a == b, (name, a, b)
 
 
 def test_blocks_survive_null_url(spark):
