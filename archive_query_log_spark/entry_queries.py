@@ -256,6 +256,99 @@ def j1_source_crossproduct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTRY_ARCHIVES = [
+    # the canonical Wayback archive (imports/aql22.py:166-172) + a second
+    # CDX-compatible archive so the cross product is a real product
+    (
+        "wayback",
+        "https://web.archive.org/cdx/search/cdx",
+        "https://web.archive.org/web",
+        10,
+    ),
+    (
+        "archive-it",
+        "https://wayback.archive-it.org/all/cdx",
+        "https://wayback.archive-it.org/all",
+        5,
+    ),
+]
+
+
+def _sql_str(s: str | None) -> str:
+    return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _real_providers_oracle() -> str:
+    """VALUES-inlined real provider dim (the oracle re-derives the
+    domains × prefixes explosion and the exclusion filter itself)."""
+    from archive_query_log_spark.operators.rule_tables import load_provider_rows
+
+    prov_rows = ",\n ".join(
+        "({pid}, {pri}, [{doms}], [{pres}], {exc})".format(
+            pid=_sql_str(p["provider_id"]),
+            pri=p["priority"],
+            doms=",".join(_sql_str(d) for d in p["domains"]),
+            pres=",".join(_sql_str(x) for x in p["url_path_prefixes"]),
+            exc=_sql_str(p["exclusion_reason"]),
+        )
+        for p in load_provider_rows()
+    )
+    arch_rows = ",\n ".join(
+        f"({_sql_str(a)}, {_sql_str(c)}, {_sql_str(m)}, {pri})"
+        for a, c, m, pri in _ENTRY_ARCHIVES
+    )
+    return f"""
+WITH providers(provider_id, priority, domains, prefixes, excluded) AS (VALUES
+ {prov_rows}),
+archives(archive_id, cdx, memento, archive_priority) AS (VALUES
+ {arch_rows}),
+prov1 AS (
+  SELECT provider_id, priority, unnest(domains) AS domain, prefixes
+  FROM providers WHERE excluded IS NULL
+),
+prov2 AS (
+  SELECT provider_id, priority, domain,
+         unnest(prefixes) AS url_path_prefix
+  FROM prov1
+)
+SELECT a.archive_id, p.provider_id, p.domain, p.url_path_prefix,
+       p.priority AS provider_priority
+FROM archives a CROSS JOIN prov2 p
+"""
+
+
+@_q("j1_real_providers", _real_providers_oracle())
+def j1_real_providers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 over the reference's REAL provider dimension: 775 providers
+    (selected-services.yaml via imports/yaml.py semantics, production UUIDs
+    signature-recovered from the rule tables) × archives → 8,692 crawl
+    sources through crawler/sources_build.py:build_sources — exclusion
+    filter, domains × prefixes explosion, both dims broadcast. The uuid5
+    source-id mint is golden-tested against Python's uuid.uuid5 in
+    tests/test_sources_build.py (DuckDB lacks sha1, so the id column stays
+    out of the SQL-gated projection)."""
+    from archive_query_log_spark.crawler.sources_build import build_sources
+    from archive_query_log_spark.operators.rule_tables import (
+        reference_providers_df,
+    )
+
+    providers = reference_providers_df(spark).withColumnRenamed(
+        "provider_id", "id"
+    )
+    archives = spark.createDataFrame(
+        _ENTRY_ARCHIVES,
+        "id string, cdx_api_url string, memento_api_url string, priority int",
+    )
+    src = build_sources(archives, providers)
+    return src.select(
+        F.col("archive.archive_id").alias("archive_id"),
+        F.col("provider.id").alias("provider_id"),
+        F.col("provider.domain").alias("domain"),
+        F.col("provider.url_path_prefix").alias("url_path_prefix"),
+        F.col("provider.priority").alias("provider_priority"),
+    )
+
+
 @_q(
     "j2_multiway_join",
     """
@@ -2166,6 +2259,7 @@ _GATE_ORDER: list[str] = [
     "f7_row_validity",
     "a12_progress_ratio",
     "j1_source_crossproduct",
+    "j1_real_providers",
     "j2_multiway_join",
     "j3_asof_join",
     "j7_anti_join",
@@ -2209,7 +2303,6 @@ _GATE_ORDER: list[str] = [
     "text_quality",
     "text_fingerprint",
     "a6_sum_by_key",
-    "o3_random_sample",
 ]
 
 

@@ -83,6 +83,41 @@ def reference_rules_df(spark: SparkSession, table: str) -> DataFrame:
     return spark.createDataFrame(rows, RULES_DF_SCHEMA)
 
 
+PROVIDERS_DF_SCHEMA = (
+    "provider_id string, name string, priority int,"
+    " domains array<string>, url_path_prefixes array<string>,"
+    " exclusion_reason string"
+)
+
+
+@lru_cache(maxsize=None)
+def load_provider_rows() -> tuple[dict, ...]:
+    """The reference's REAL provider dimension (775 providers from
+    data/selected-services.yaml via imports/yaml.py:103-160 semantics,
+    provider UUIDs signature-verified against the url_query rule table —
+    see tools/extract_reference_providers.py)."""
+    doc = json.loads((DATA_DIR / "providers.json").read_text())
+    return tuple(doc["providers"])
+
+
+def reference_providers_df(spark: SparkSession) -> DataFrame:
+    """Provider dim as a (tiny, broadcastable) DataFrame shaped for
+    crawler/sources_build.py:build_sources (id, priority, domains,
+    url_path_prefixes, exclusion_reason)."""
+    rows = [
+        (
+            p["provider_id"],
+            p["name"],
+            p["priority"],
+            p["domains"],
+            p["url_path_prefixes"],
+            p["exclusion_reason"],
+        )
+        for p in load_provider_rows()
+    ]
+    return spark.createDataFrame(rows, PROVIDERS_DF_SCHEMA)
+
+
 def reference_rules(table: str, provider_id: str | None = None) -> list[UrlRule]:
     """Rule list for compile_cascade, optionally filtered to one provider."""
     out = []
