@@ -1985,6 +1985,116 @@ FROM (VALUES
 """
 
 
+def _warc_corpus() -> dict:
+    import json
+    from pathlib import Path
+
+    data = Path(__file__).resolve().parent / "data/warc_rule_corpus.json"
+    return json.loads(data.read_text())
+
+
+def _warc_query_oracle_sql() -> str:
+    """Frozen goldens for the 74-rule WARC query cascade — minted by the
+    independent ElementTree oracle over the synthesized corpus
+    (tools/make_warc_corpus.py; double-derived with planted intent)."""
+
+    def s(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    def i(v):
+        return "NULL" if v is None else str(v)
+
+    rows = ",\n".join(
+        f"({s(r['capture_id'])},{s(r['warc_query'])},{i(r['wq_rule'])})"
+        for r in _warc_corpus()["warc_query"]
+    )
+    return f"""
+SELECT capture_id, warc_query, CAST(wq_rule AS INT) AS wq_rule
+FROM (VALUES
+{rows}
+) AS t(capture_id, warc_query, wq_rule)
+"""
+
+
+@_q("warc_rules_parity", _warc_query_oracle_sql())
+def warc_rules_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 WARC HTML→query with the reference's REAL 74-rule XPath table
+    (parsers/warc_query.py:177-586 as DATA in data/warc_query_rules.json):
+    first-applicable-parser cascade through the stdlib xpath_lite engine
+    (functions/xpath_lite.py) over a 153-document synthesized-HTML corpus
+    covering every rule as a winner, Arrow-batched and map-only (plan
+    asserted exchange-free in tests/test_warc_rules.py)."""
+    from archive_query_log_spark.operators.warc_rules import (
+        parse_warc_queries,
+    )
+
+    rows = [
+        (r["capture_id"], r["provider_id"], r["url"], r["html"])
+        for r in _warc_corpus()["warc_query"]
+    ]
+    df = spark.createDataFrame(
+        rows, "capture_id string, provider_id string, url string, html string"
+    ).repartition(8)
+    return parse_warc_queries(df).select(
+        "capture_id", "warc_query", "wq_rule"
+    )
+
+
+def _wsrb_rules_oracle_sql() -> str:
+    def s(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    rows = []
+    for r in _warc_corpus()["wsrb"] + _warc_corpus()["wscrb"]:
+        for b in r["blocks"]:
+            rows.append(
+                f"({s(r['capture_id'])},{b['rank']},{s(b['url'])},"
+                f"{s(b['title'])},{s(b['text'])},{r['wsrb_rule']})"
+            )
+    values = ",\n".join(rows)
+    return f"""
+SELECT capture_id, CAST(rank AS INT) AS rank, url, title, text,
+       CAST(block_rule AS INT) AS block_rule
+FROM (VALUES
+{values}
+) AS t(capture_id, rank, url, title, text, block_rule)
+"""
+
+
+@_q("wsrb_rules_parity", _wsrb_rules_oracle_sql())
+def wsrb_rules_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 WARC HTML→result blocks with the reference's REAL 88-rule
+    (+1 special-contents) XPath tables: first-applicable-parser block
+    extraction (per-element rank / first url-title-text strings / urljoin,
+    warc_web_search_result_blocks.py:118-180 semantics) through xpath_lite,
+    UDTF-shaped (array struct + explode), over the synthesized corpus."""
+    from archive_query_log_spark.operators.warc_rules import (
+        extract_result_blocks,
+    )
+
+    corpus = _warc_corpus()
+    out = None
+    for table, rows_key in (("warc_wsrb", "wsrb"), ("warc_wscrb", "wscrb")):
+        rows = [
+            (r["capture_id"], r["provider_id"], r["url"], r["html"])
+            for r in corpus[rows_key]
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "capture_id string, provider_id string, url string, html string",
+        ).repartition(8)
+        part = extract_result_blocks(df, table=table).select(
+            "capture_id",
+            "rank",
+            F.col("block_url").alias("url"),
+            "title",
+            "text",
+            "block_rule",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 @_q("w4_reference_rules", _rule_corpus_oracle_sql())
 def w4_reference_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 for real: all three reference rule tables (1,463 rules) through
@@ -2271,6 +2381,8 @@ _GATE_ORDER: list[str] = [
     "w3_rank_assignment",
     "w4_first_match_cascade",
     "w4_reference_rules",
+    "warc_rules_parity",
+    "wsrb_rules_parity",
     "wsrb_extract",
     "wq_extract",
     "c18_encoding_waterfall",
@@ -2281,7 +2393,6 @@ _GATE_ORDER: list[str] = [
     "c10_unfurl",
     "q1_fulltext_match",
     "q2_advanced_search",
-    "q3_prefix_suggest",
     "q4_completion_suggest",
     "q5_compare",
     "f5_range_filter",
@@ -2302,7 +2413,6 @@ _GATE_ORDER: list[str] = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    "a6_sum_by_key",
 ]
 
 

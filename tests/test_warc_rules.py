@@ -1,0 +1,182 @@
+"""The reference's REAL WARC XPath rule tables (74 warc_query + 88
+result-block + 1 special-contents rules) through the xpath_lite engine,
+gated against the frozen corpus goldens.
+
+Golden provenance (tools/make_warc_corpus.py): every corpus document was
+synthesized from a rule's own xpath constraints with planted payloads, and
+its golden was only frozen when the independent ElementTree-based oracle
+(tools/xpath_et_oracle.py — different parser, different text model,
+different predicate evaluator) agreed with the planted intent. This test
+adds the third derivation: the html.parser + xpath_lite engine the Spark
+operators actually run.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.functions.xpath_lite import (
+    XPathLite,
+    parse_html,
+)
+from archive_query_log_spark.operators import warc_rules
+
+DATA = Path(__file__).resolve().parent.parent / "archive_query_log_spark/data"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return json.loads((DATA / "warc_rule_corpus.json").read_text())
+
+
+def test_all_reference_xpaths_compile():
+    n = 0
+    for table in ("warc_query", "warc_wsrb", "warc_wscrb"):
+        for r in warc_rules.load_warc_rules(table):
+            for f in ("xpath", "url_xpath", "title_xpath", "text_xpath"):
+                if r.get(f):
+                    XPathLite(r[f])
+                    n += 1
+    assert n == 392  # every xpath string in the three reference tables
+
+
+def test_corpus_covers_every_query_rule(corpus):
+    winners = {r["wq_rule"] for r in corpus["warc_query"] if r["wq_rule"] is not None}
+    assert winners == set(range(74))
+
+
+def test_warc_query_parity_python(corpus):
+    """Engine vs frozen goldens, full 153-row corpus, driver-side (the
+    same _parse_query the UDF batches over)."""
+    bad = []
+    for row in corpus["warc_query"]:
+        q, rule = warc_rules._parse_query(
+            row["provider_id"], row["url"], row["html"]
+        )
+        if (q, rule) != (row["warc_query"], row["wq_rule"]):
+            bad.append((row["capture_id"], (q, rule),
+                        (row["warc_query"], row["wq_rule"])))
+    assert not bad, f"{len(bad)} mismatches; first 5: {bad[:5]}"
+
+
+def test_wsrb_parity_python(corpus):
+    rules = warc_rules._compiled_block_rules("warc_wsrb")
+    bad = []
+    for row in corpus["wsrb"]:
+        blocks = warc_rules._extract_blocks(
+            row["provider_id"], row["url"], row["html"], rules
+        )
+        got = (
+            None
+            if blocks is None
+            else [
+                {k: b[k] for k in ("rank", "url", "title", "text")}
+                for b in blocks
+            ]
+        )
+        want = [
+            {k: b[k] for k in ("rank", "url", "title", "text")}
+            for b in row["blocks"]
+        ]
+        rule = blocks[0]["block_rule"] if blocks else None
+        if got != want or rule != row["wsrb_rule"]:
+            bad.append((row["capture_id"], rule, row["wsrb_rule"]))
+    assert not bad, f"{len(bad)} mismatches: {bad[:5]}"
+
+
+def test_wscrb_parity_python(corpus):
+    rules = warc_rules._compiled_block_rules("warc_wscrb")
+    for row in corpus["wscrb"]:
+        blocks = warc_rules._extract_blocks(
+            row["provider_id"], row["url"], row["html"], rules
+        )
+        got = [
+            {k: b[k] for k in ("rank", "url", "title", "text")} for b in blocks
+        ]
+        want = [
+            {k: b[k] for k in ("rank", "url", "title", "text")}
+            for b in row["blocks"]
+        ]
+        assert got == want
+
+
+def test_warc_query_spark_path(spark, corpus):
+    """The Arrow-UDF cascade on Spark reproduces the goldens (full corpus)
+    and the plan is a map-only projection."""
+    rows = [
+        (r["capture_id"], r["provider_id"], r["url"], r["html"])
+        for r in corpus["warc_query"]
+    ]
+    df = spark.createDataFrame(
+        rows, "capture_id string, provider_id string, url string, html string"
+    ).repartition(8)
+    out = warc_rules.parse_warc_queries(df)
+    got = {
+        r["capture_id"]: (r["warc_query"], r["wq_rule"])
+        for r in out.select("capture_id", "warc_query", "wq_rule").collect()
+    }
+    for r in corpus["warc_query"]:
+        assert got[r["capture_id"]] == (r["warc_query"], r["wq_rule"]), r[
+            "capture_id"
+        ]
+    plan_df = warc_rules.parse_warc_queries(df.localCheckpoint())
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: scan → Arrow eval → project
+
+
+def test_block_id_mint_deterministic(spark, corpus):
+    """block_id = uuid5(ns, serp:parser:md5(content):rank) — deterministic
+    stand-in for the reference's process-salted hash() (which even the
+    reference cannot reproduce across runs); stable across repartitions."""
+    rows = [
+        (r["capture_id"], r["provider_id"], r["url"], r["html"])
+        for r in corpus["wsrb"][:10]
+    ]
+    df = spark.createDataFrame(
+        rows, "capture_id string, provider_id string, url string, html string"
+    )
+    a = warc_rules.extract_result_blocks(df, serp_id="capture_id")
+    ids_a = {(r["capture_id"], r["rank"]): r["block_id"] for r in a.collect()}
+    b = warc_rules.extract_result_blocks(
+        df.repartition(7), serp_id="capture_id"
+    )
+    ids_b = {(r["capture_id"], r["rank"]): r["block_id"] for r in b.collect()}
+    assert ids_a == ids_b and len(ids_a) > 0
+    import re as _re
+
+    assert all(
+        _re.fullmatch(r"[0-9a-f-]{36}", v) for v in ids_a.values()
+    )
+
+
+def test_dom_recovery_and_entities():
+    """html.parser DOM: void elements never swallow siblings, stray end
+    tags are ignored, enclosing end tags close unclosed children, char
+    references decode in text and attributes."""
+    doc = parse_html(
+        "<div><input name='q' value='a &amp; b'><span>after</span></div>"
+        "</b><ul><li><b>one<li><b>two</ul>"
+    )
+    assert XPathLite("//input/@value").evaluate(doc) == ["a & b"]
+    assert XPathLite("//div//span//text()").evaluate(doc) == ["after"]
+    # the second <li> is NOT nested under the first's unclosed <b>: the
+    # enclosing </ul> closes everything; li elements stay siblings of ul?
+    lis = XPathLite("//ul//li").evaluate(doc)
+    assert len(lis) == 2  # both li elements found under ul
+
+    # union document-order + dedup: same node reachable via both branches
+    doc2 = parse_html("<a id='x' href='h'><h3>t</h3></a>")
+    assert XPathLite("//a/@href | //a[@id = 'x']/@href").evaluate(doc2) == ["h"]
+    # class-token vs substring
+    doc3 = parse_html("<p class='foo-bar'>no</p><p class='a  foo\tb'>yes</p>")
+    assert XPathLite(
+        "//p[@class and contains(concat(' ', normalize-space(@class), ' '),"
+        " ' foo ')]//text()"
+    ).evaluate(doc3) == ["yes"]
+    assert XPathLite("//p[contains(@class, 'foo')]//text()").evaluate(
+        doc3
+    ) == ["no", "yes"]
