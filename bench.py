@@ -259,6 +259,67 @@ def cascade_bench(master: str, n_rows: int = 500_000) -> dict:
     }
 
 
+def warc_xpath_bench(master: str, n_rows: int = 20_000) -> dict:
+    """The reference's real 74-rule WARC XPath query cascade (html.parser
+    DOM + xpath_lite per row, Arrow-batched, map-only) over synthetic SERP
+    documents cycled from the parity corpus. Reports docs/sec — the
+    per-SERP HTML-parse cost dominates, as it would at 10^8 SERPs."""
+    import json as _json
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from archive_query_log_spark.operators.warc_rules import (
+        parse_warc_queries,
+    )
+    from archive_query_log_spark.session import get_spark
+
+    corpus = _json.loads(
+        (
+            Path(__file__).resolve().parent
+            / "archive_query_log_spark/data/warc_rule_corpus.json"
+        ).read_text()
+    )["warc_query"]
+    sample = [r for r in corpus if r["warc_query"] is not None][:32]
+    spark = get_spark(app_name="bench-warc-xpath", master=master,
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    pids = F.array(*[F.lit(r["provider_id"]) for r in sample])
+    urls = F.array(*[F.lit(r["url"]) for r in sample])
+    htmls = F.array(*[F.lit(r["html"]) for r in sample])
+    idx = (F.pmod("id", F.lit(len(sample))) + 1).cast("int")
+    base = spark.range(n_rows).select(
+        F.element_at(pids, idx).alias("provider_id"),
+        F.element_at(urls, idx).alias("url"),
+        F.element_at(htmls, idx).alias("html"),
+    ).cache()
+    base.count()
+
+    def run():
+        return (
+            parse_warc_queries(base)
+            .agg(F.count("warc_query"))
+            .collect()[0][0]
+        )
+
+    run()  # warm
+    best, n_parsed = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_parsed = run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    spark.stop()
+    return {
+        "rows": n_rows,
+        "n_rules": 74,
+        "parsed": n_parsed,
+        "sec": round(best, 3),
+        "rows_per_sec": round(n_rows / best, 1),
+        "plan": "Arrow UDF cascade (map-only, exchange-free)",
+    }
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-job":
         master, nf, ni, pf = sys.argv[2:6]
@@ -294,6 +355,7 @@ def main():
         },
         "ann_sig_768": ann_sig_bench(f"local[{CPUS}]"),
         "cascade_972": cascade_bench(f"local[{CPUS}]"),
+        "warc_xpath_74": warc_xpath_bench(f"local[{CPUS}]"),
     }
 
     if SCALING:
