@@ -13,6 +13,7 @@ Conventions that make the hash-compare gate deterministic:
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import lru_cache as _lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1985,6 +1986,7 @@ FROM (VALUES
 """
 
 
+@_lru_cache(maxsize=1)
 def _warc_corpus() -> dict:
     import json
     from pathlib import Path
@@ -1993,17 +1995,15 @@ def _warc_corpus() -> dict:
     return json.loads(data.read_text())
 
 
+def _sql_int(v) -> str:
+    return "NULL" if v is None else str(v)
+
+
 def _warc_query_oracle_sql() -> str:
     """Frozen goldens for the 74-rule WARC query cascade — minted by the
     independent ElementTree oracle over the synthesized corpus
     (tools/make_warc_corpus.py; double-derived with planted intent)."""
-
-    def s(v):
-        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
-
-    def i(v):
-        return "NULL" if v is None else str(v)
-
+    s, i = _sql_str, _sql_int
     rows = ",\n".join(
         f"({s(r['capture_id'])},{s(r['warc_query'])},{i(r['wq_rule'])})"
         for r in _warc_corpus()["warc_query"]
@@ -2041,9 +2041,7 @@ def warc_rules_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wsrb_rules_oracle_sql() -> str:
-    def s(v):
-        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
-
+    s = _sql_str
     rows = []
     for r in _warc_corpus()["wsrb"] + _warc_corpus()["wscrb"]:
         for b in r["blocks"]:

@@ -352,7 +352,10 @@ def normalize_http_url(url: Column | str) -> Column:
     rewrite '%'→'%25' where pydantic leaves it untouched. Exact-parity
     precondition: ASCII host and no unencoded spaces / dot-segments; URLs
     needing IDNA punycode or path re-encoding go through
-    normalize_http_url_udf().
+    normalize_http_url_udf(). Authorities the column math would get WRONG
+    rather than merely unnormalized — bracketed IPv6 hosts, multiple '@',
+    non-canonical ports like ':0443' — yield NULL so callers route them to
+    the UDF instead of shipping a corrupted URL.
     """
     u = _col(url)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -386,8 +389,21 @@ def normalize_http_url(url: Column | str) -> Column:
     path = F.regexp_extract(before_frag, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query_part = F.regexp_extract(before_frag, r"(\?[\s\S]*)$", 0)
+    # outside-precondition authorities yield NULL (route to the UDF) rather
+    # than a silently-wrong URL: bracketed IPv6 hosts (the ':' split would
+    # mangle them), multiple '@' (pydantic %40-encodes the extras), and
+    # non-canonical ports like ':0443' (pydantic re-canonicalizes)
+    invalid = (
+        authority.contains("[")
+        | (F.size(F.split(authority, "@")) > 2)
+        | (
+            port.isNotNull()
+            & (port != "")
+            & ~port.rlike("^[1-9][0-9]{0,4}$")
+        )
+    )
     return F.when(
-        (scheme == "") | (host == ""),
+        (scheme == "") | (host == "") | invalid,
         F.lit(None).cast("string"),
     ).otherwise(
         F.concat(

@@ -354,6 +354,14 @@ def _parse_path(text: str) -> _Path:
     if text.startswith("//"):
         absolute = True
         i = 0  # the leading '//' is consumed as the first step's separator
+    elif text.startswith("/"):
+        # rooted single-slash paths ('/html/body/...') are outside the
+        # grammar the reference rules use — reject at compile time rather
+        # than silently evaluating as a relative child path
+        raise ValueError(
+            f"xpath_lite: rooted '/' paths unsupported (got {text!r});"
+            " only '//'-absolute and relative paths are in the grammar"
+        )
     elif text.startswith("."):
         i = 1
         if i == n:  # bare '.' = context node itself
@@ -397,6 +405,12 @@ def _parse_path(text: str) -> _Path:
         steps.append(_Step(descendant, test, preds))
     if not steps and not absolute:
         return _Path(False, [])
+    for step in steps[:-1]:
+        if step.test == "text()" or step.test.startswith("@"):
+            raise ValueError(
+                f"xpath_lite: {step.test} must be the terminal step"
+                f" in {text!r}"
+            )
     return _Path(absolute, steps)
 
 

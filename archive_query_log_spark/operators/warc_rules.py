@@ -30,7 +30,9 @@ from __future__ import annotations
 import json
 import re
 from functools import lru_cache
+from hashlib import md5
 from pathlib import Path
+from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -39,6 +41,7 @@ from pyspark.sql import functions as F
 from archive_query_log_spark.functions.xpath_lite import (
     XPathLite,
     parse_html,
+    tostring,
 )
 
 DATA_DIR = Path(__file__).resolve().parent.parent / "data"
@@ -92,7 +95,11 @@ def _parse_query(provider_id, url, html) -> tuple[str | None, int | None]:
         return None, None
     doc = None
     for order, pid, pattern, xpath in _compiled_query_rules():
-        if provider_id is not None and pid != provider_id:
+        # reference applicability (warc_query.py:34-43): a RULE with
+        # provider_id=None applies to every row; a rule with a provider
+        # only applies when the row's provider equals it (a null-provider
+        # ROW therefore matches no provider-specific rule)
+        if pid is not None and pid != provider_id:
             continue
         if not pattern.match(url):
             continue
@@ -131,17 +138,35 @@ _BLOCK_TYPE = (
 )
 
 
+try:  # pydantic is optional at runtime; present wherever the reference runs
+    from pydantic import HttpUrl as _HttpUrl
+except ImportError:  # pragma: no cover - documented divergence without it
+    _HttpUrl = None
+
+
+def _normalize_block_url(joined: str) -> str | None:
+    """The reference wraps the urljoin result in HttpUrl
+    (warc_web_search_result_blocks.py:140-141,170) — WHATWG-normalized.
+    An invalid URL raises ValidationError there (killing the whole parse);
+    per this repo's per-row-errors-never-kill-the-job rule it becomes None
+    here instead (documented divergence). Without pydantic the raw joined
+    URL is kept (documented divergence)."""
+    if _HttpUrl is None:
+        return joined
+    try:
+        return _HttpUrl(joined).encoded_string()
+    except Exception:
+        return None
+
+
 def _extract_blocks(provider_id, url, html, rules) -> list[dict] | None:
-    from hashlib import md5
-    from urllib.parse import urljoin
-
-    from archive_query_log_spark.functions.xpath_lite import tostring
-
     if html is None or url is None:
         return None
     doc = None
     for order, pid, pattern, xpath, url_xp, title_xp, text_xp in rules:
-        if provider_id is not None and pid != provider_id:
+        # rule provider None = wildcard (warc_web_search_result_blocks.py:
+        # 60-69 — same applicability as the query cascade)
+        if pid is not None and pid != provider_id:
             continue
         if not pattern.match(url):
             continue
@@ -156,7 +181,9 @@ def _extract_blocks(provider_id, url, html, rules) -> list[dict] | None:
             if url_xp is not None:
                 urls = url_xp.evaluate(el, doc)
                 if urls:
-                    block_url = urljoin(url, urls[0].strip())
+                    block_url = _normalize_block_url(
+                        urljoin(url, urls[0].strip())
+                    )
             title = None
             if title_xp is not None:
                 titles = title_xp.evaluate(el, doc)

@@ -242,6 +242,17 @@ def test_normalize_http_url_matches_pydantic(spark):
     for r in df.select("url", urls.normalize_http_url("url").alias("n")).collect():
         assert r["n"] == HttpUrl(r["url"]).encoded_string(), r["url"]
 
+    # outside-precondition authorities must yield NULL (route to the UDF),
+    # never a silently-corrupted URL
+    tricky = [
+        "https://[2001:db8::1]/x",  # bracketed IPv6
+        "https://a@b@x.com/",  # multiple '@'
+        "https://x.com:0443/",  # non-canonical port
+    ]
+    tdf = spark.createDataFrame([(c,) for c in tricky], "url string")
+    for r in tdf.select("url", urls.normalize_http_url("url").alias("n")).collect():
+        assert r["n"] is None, (r["url"], r["n"])
+
     udf = urls.normalize_http_url_udf()
     df2 = spark.createDataFrame(
         [(c,) for c in column_cases + udf_only_cases], "url string"

@@ -96,7 +96,11 @@ def test_warc_query_matches_reference_approved_output(name: str):
 
     jsonl = REF_TESTS / f"{name}.jsonl"
     warc = REF_TESTS / f"{name}.warc.gz"
-    if not jsonl.exists():
+    approved = (
+        REF_TESTS
+        / f"test_warc_query_parsers.test_warc_query_parsers[{name}].approved.txt"
+    )
+    if not (jsonl.exists() and warc.exists() and approved.exists()):
         pytest.skip(f"reference fixture {name} not present")
     expected = _approved(name)
     parser_to_rule: dict[str, set] = {}
@@ -142,6 +146,8 @@ def test_result_blocks_on_real_google_serps():
 
     rules = _compiled_block_rules("warc_wsrb")
     warc = REF_TESTS / "google.warc.gz"
+    if not (warc.exists() and (REF_TESTS / "google.jsonl").exists()):
+        pytest.skip("reference google fixture not present")
     profile = {"with_blocks": 0, "total_blocks": 0, "titled": 0, "urled": 0}
     for line in (REF_TESTS / "google.jsonl").read_text().splitlines():
         rec = json.loads(line)

@@ -153,6 +153,44 @@ def test_block_id_mint_deterministic(spark, corpus):
     )
 
 
+def test_provider_wildcard_and_null_row_applicability():
+    """Reference applicability (warc_query.py:34-43): a RULE with
+    provider_id=None applies to every row; a row with provider_id=None
+    matches no provider-specific rule (None != UUID)."""
+    html = (
+        '<html><body><form id="tsf"><input name="q" value="hi"/></form>'
+        "</body></html>"
+    )
+    url = "https://www.google.com/search?q=hi"
+    google = "f205fc44-d918-4b79-9a7f-c1373a6ff9f2"
+    q, rule = warc_rules._parse_query(google, url, html)
+    assert (q, rule) == ("hi", 0)
+    # null-provider row: no provider-specific rule may fire
+    assert warc_rules._parse_query(None, url, html) == (None, None)
+
+
+def test_unsupported_xpath_constructs_fail_at_compile():
+    with pytest.raises(ValueError, match="rooted"):
+        XPathLite("/html/body/div")
+    with pytest.raises(ValueError, match="terminal"):
+        XPathLite("//text()/span")
+    with pytest.raises(ValueError, match="terminal"):
+        XPathLite("//@href/div")
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        XPathLite("//div[position() > 2]")
+
+
+def test_invalid_block_url_nulled_not_fatal():
+    """An href that is not a valid http URL after urljoin becomes a null
+    block_url (the reference's HttpUrl() would raise and kill the parse —
+    per-row errors must never kill a 10^10-row job here)."""
+    assert warc_rules._normalize_block_url("javascript:void(0)") is None
+    assert (
+        warc_rules._normalize_block_url("https://Example.COM")
+        == "https://example.com/"
+    )
+
+
 def test_dom_recovery_and_entities():
     """html.parser DOM: void elements never swallow siblings, stray end
     tags are ignored, enclosing end tags close unclosed children, char
