@@ -128,6 +128,102 @@ def test_warc_query_matches_reference_approved_output(name: str):
     assert len(rules_won) == len(parser_to_rule)
 
 
+# frozen per-provider profile over EVERY reference WARC fixture:
+# (n_serps, n_queries_extracted, n_pages_with_blocks, n_blocks).
+# Providers at 0 are captures whose markup the (old-markup) rules don't
+# target or whose queries live in JS state — the reference's lxml engine
+# sees the same markup; its own suite keeps all fixtures but google
+# disabled. 870 SERPs total, 731 queries, 9,540 blocks, zero parse errors.
+_FULL_SWEEP_PROFILE = {
+    "360": (20, 20, 19, 190),
+    "aliexpress": (10, 10, 10, 165),
+    "amazon": (20, 13, 13, 619),
+    "ask": (50, 50, 48, 462),
+    "baidu": (20, 17, 14, 144),
+    "bing": (60, 60, 37, 371),
+    "bongacams": (10, 0, 10, 696),
+    "brave": (50, 49, 49, 941),
+    "canva": (1, 0, 0, 0),
+    "chefkoch": (50, 50, 11, 151),
+    "cnn": (10, 0, 0, 0),
+    "csdn": (3, 0, 0, 0),
+    "duckduckgo": (49, 49, 1, 1),
+    "ebay": (10, 10, 4, 197),
+    "ecosia": (50, 47, 47, 445),
+    "espn": (2, 0, 0, 0),
+    "etsy": (10, 10, 9, 343),
+    "facebook": (20, 5, 13, 355),
+    "github": (10, 10, 6, 47),
+    "google": (70, 70, 61, 701),
+    "imdb": (10, 8, 6, 221),
+    "imgur": (2, 2, 0, 0),
+    "indeed": (10, 10, 9, 62),
+    "jd": (20, 17, 14, 260),
+    "linkedin": (7, 0, 0, 0),
+    "naver": (10, 8, 7, 109),
+    "pornhub": (10, 10, 6, 105),
+    "qq": (19, 0, 0, 0),
+    "qwant": (50, 46, 44, 521),
+    "reddit": (10, 9, 7, 132),
+    "roblox": (10, 1, 1, 42),
+    "sogou": (10, 10, 9, 90),
+    "stackoverflow": (10, 10, 10, 345),
+    "tribunnews": (10, 0, 0, 0),
+    "twitch": (7, 0, 0, 0),
+    "twitter": (10, 3, 4, 78),
+    "vk": (10, 10, 8, 289),
+    "weibo": (10, 2, 0, 0),
+    "wikimedia": (10, 10, 4, 62),
+    "xvideos": (10, 10, 9, 241),
+    "yahoo": (70, 70, 70, 827),
+    "yandex": (10, 10, 0, 0),
+    "youtube": (20, 15, 13, 328),
+}
+
+
+def test_full_fixture_sweep_characterization():
+    """Both real rule tables (74 query + 88 block rules) over EVERY real
+    WARC fixture the reference ships — 870 archived SERPs from 43
+    providers (Google, Yahoo, Bing, Baidu, DuckDuckGo, Yandex, Naver,
+    Sogou, VK, …) — must keep reproducing the frozen per-provider
+    extraction profile exactly, with zero parse errors. This is the
+    at-breadth robustness gate for html.parser + xpath_lite on real-world
+    malformed markup (420 KB SERPs, CJK/Cyrillic charsets, deep nesting)."""
+    pytest.importorskip("pydantic")
+    from pydantic import HttpUrl
+
+    from archive_query_log_spark.operators.warc_rules import (
+        _compiled_block_rules,
+        _extract_blocks,
+        _parse_query,
+    )
+
+    if not REF_TESTS.exists():
+        pytest.skip("reference fixture tree not present")
+    rules = _compiled_block_rules("warc_wsrb")
+    got = {}
+    for jsonl in sorted(REF_TESTS.glob("*.jsonl")):
+        name = jsonl.stem
+        warc = REF_TESTS / f"{name}.warc.gz"
+        if not warc.exists():
+            continue
+        serps = queries = block_pages = total_blocks = 0
+        for line in jsonl.read_text().splitlines():
+            rec = json.loads(line)
+            serps += 1
+            url = HttpUrl(rec["capture"]["url"]).encoded_string()
+            html = _read_html(warc, rec["warc_location"])
+            query, _ = _parse_query(rec["provider"]["id"], url, html)
+            if query is not None:
+                queries += 1
+            blocks = _extract_blocks(rec["provider"]["id"], url, html, rules)
+            if blocks:
+                block_pages += 1
+                total_blocks += len(blocks)
+        got[name] = (serps, queries, block_pages, total_blocks)
+    assert got == _FULL_SWEEP_PROFILE
+
+
 def test_result_blocks_on_real_google_serps():
     """Characterization golden (no reference approval file exists for
     blocks): the 88-rule table over the 70 real Google SERPs must keep
