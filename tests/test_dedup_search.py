@@ -352,7 +352,9 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(8)], "id_a long, id_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iter=2, method="minlabel")
+        dedup.connected_components(
+            chain, max_iter=2, method="minlabel", local_threshold=0
+        )
 
 
 def test_connected_components_star_long_chain(spark):
@@ -363,7 +365,9 @@ def test_connected_components_star_long_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(999)], "id_a long, id_b long"
     ).repartition(8)
-    got = dedup.connected_components(chain)  # method='star' default
+    # local_threshold=0 forces the distributed star path (the small-graph
+    # cutover would otherwise solve this on the driver)
+    got = dedup.connected_components(chain, local_threshold=0)
     rows = got.collect()
     assert len(rows) == 1000
     assert all(r["cluster_id"] == 0 for r in rows)
@@ -388,11 +392,14 @@ def test_connected_components_star_equals_minlabel(spark):
     for name, edges in graphs.items():
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         a = {r["node"]: r["cluster_id"]
-             for r in dedup.connected_components(pairs, method="star").collect()}
+             for r in dedup.connected_components(
+                 pairs, method="star", local_threshold=0).collect()}
         b = {r["node"]: r["cluster_id"]
              for r in dedup.connected_components(
-                 pairs, method="minlabel").collect()}
-        assert a == b, (name, a, b)
+                 pairs, method="minlabel", local_threshold=0).collect()}
+        c = {r["node"]: r["cluster_id"]
+             for r in dedup.connected_components(pairs).collect()}  # local
+        assert a == b == c, (name, a, b, c)
 
 
 def test_blocks_survive_null_url(spark):
