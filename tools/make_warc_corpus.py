@@ -504,6 +504,12 @@ def main() -> None:
         row["capture_id"] = "wc" + row["capture_id"][2:]
 
     stats = {
+        "_provenance": (
+            "Synthesized XHTML parity corpus minted by"
+            " tools/make_warc_corpus.py from the rule tables' own xpath"
+            " constraints; goldens double-derived (planted intent + the"
+            " independent ElementTree oracle in tools/xpath_et_oracle.py)."
+        ),
         "n_wq_rows": len(wq),
         "n_wq_rules_won": len({r["wq_rule"] for r in wq if r["wq_rule"] is not None}),
         "n_wsrb_rows": len(wb),
