@@ -225,7 +225,7 @@ def build_warc_query_corpus(rules) -> list[dict]:
         if url is None:
             raise ValueError(f"unexpandable url_pattern {r['url_pattern']!r}")
         n_branches = len(_split_union(r["xpath"]))
-        for bi in range(min(n_branches, 2)):
+        for bi in range(n_branches):  # every union branch gets a document
             payload = f"query {r['rule_order']}-{bi} tèst"
             try:
                 html = build_doc(r["xpath"], "query", payload, bi)
@@ -295,11 +295,13 @@ def build_warc_query_corpus(rules) -> list[dict]:
 # --- wsrb corpus -------------------------------------------------------------
 
 
-def build_block_doc(rule, n_blocks: int):
-    """Document with n_blocks result blocks for one wsrb rule; returns
+def build_block_doc(rule, n_blocks: int, branch_idx: int = 0):
+    """Document with n_blocks result blocks for one wsrb rule (block
+    elements built from xpath union branch #branch_idx; the relative
+    url/title/text plants cycle their own branches too); returns
     (xhtml, expected_blocks)."""
     branches = _split_union(rule["xpath"])
-    path = _parse_path(branches[0])
+    path = _parse_path(branches[branch_idx % len(branches)])
     body = El("body")
     expected = []
     container: El | None = None
@@ -319,15 +321,19 @@ def build_block_doc(rule, n_blocks: int):
             container = block
         url_val = None
         if rule.get("url_xpath") and bi != 1:  # block 1: missing url
-            _plant_relative(block, rule["url_xpath"], f"/r/{bi}?x=1")
+            _plant_relative(block, rule["url_xpath"], f"/r/{bi}?x=1", bi)
             url_val = f"/r/{bi}?x=1"
         title_val = None
         if rule.get("title_xpath"):
-            planted = _plant_relative(block, rule["title_xpath"], f"Title {bi} ")
+            planted = _plant_relative(
+                block, rule["title_xpath"], f"Title {bi} ", bi
+            )
             title_val = planted.strip()
         text_val = None
         if rule.get("text_xpath"):
-            planted = _plant_relative(block, rule["text_xpath"], f"Snippet {bi}.")
+            planted = _plant_relative(
+                block, rule["text_xpath"], f"Snippet {bi}.", bi
+            )
             text_val = planted.strip()
         expected.append(
             {
@@ -342,10 +348,11 @@ def build_block_doc(rule, n_blocks: int):
     return html.serialize(), expected
 
 
-def _plant_relative(block: El, xpath: str, payload: str) -> str:
-    """Plant payload so `xpath` (relative to block) yields it first.
-    Returns the planted raw string."""
-    path = _parse_path(_split_union(xpath)[0])
+def _plant_relative(block: El, xpath: str, payload: str, branch: int = 0) -> str:
+    """Plant payload so `xpath` (relative to block) yields it first —
+    union branch #branch (mod n) carries it. Returns the planted string."""
+    branches = _split_union(xpath)
+    path = _parse_path(branches[branch % len(branches)])
     if not path.steps:
         raise ValueError(f"cannot plant on bare '.' xpath {xpath!r}")
     if path.steps[0].test == "text()":
@@ -414,11 +421,12 @@ def build_wsrb_corpus(rules) -> list[dict]:
         url = mint_url(r["url_pattern"], r["rule_order"])
         if url is None:
             raise ValueError(f"unexpandable url_pattern {r['url_pattern']!r}")
-        xhtml, expected = build_block_doc(r, 3)
-        corpus.append(
-            {"provider_id": r["provider_id"], "url": url, "html": xhtml,
-             "_expected": expected, "_rule": r["rule_order"]}
-        )
+        for branch_idx in range(len(_split_union(r["xpath"]))):
+            xhtml, expected = build_block_doc(r, 3, branch_idx)
+            corpus.append(
+                {"provider_id": r["provider_id"], "url": url, "html": xhtml,
+                 "_expected": expected, "_rule": r["rule_order"]}
+            )
     out = []
     for i, row in enumerate(corpus):
         doc = Doc(row["html"])
