@@ -27,6 +27,7 @@ class Doc:
         self.root = ET.fromstring(xhtml)
         self.parent: dict[ET.Element, ET.Element | None] = {self.root: None}
         self.order: dict[ET.Element, int] = {}
+        self.depth: dict[ET.Element, int] = {self.root: 0}
         self.subtree_end: dict[ET.Element, int] = {}
         counter = 0
         stack = [self.root]
@@ -37,11 +38,14 @@ class Doc:
             kids = list(el)
             for child in kids:
                 self.parent[child] = el
+                self.depth[child] = self.depth[el] + 1
             stack.extend(reversed(kids))
 
         def _end(el: ET.Element) -> int:
             kids = list(el)
-            end = _end(kids[-1]) if kids else self.order[el]
+            end = self.order[el]
+            for kid in kids:
+                end = _end(kid)
             self.subtree_end[el] = end
             return end
 
@@ -56,17 +60,32 @@ def _descendants(el: ET.Element):
 
 def _text_pieces(el: ET.Element, doc: Doc):
     """Descendant text 'nodes' of el in document order, as
-    (owner_order, slot, value). ET models text as .text/.tail strings."""
+    ((order_key, identity), value). ET models text as .text/.tail strings;
+    identity is (owner id, slot) so two text nodes whose order keys tie
+    (a tail after a leaf last-child shares its parent's subtree_end) are
+    still distinct nodes and never dedup together."""
     out = []
     if el.text:
-        out.append(((doc.order[el], 0), el.text))
+        out.append((((doc.order[el], 0, 0), (id(el), "text")), el.text))
     for child in _descendants(el):
         if child.text:
-            out.append(((doc.order[child], 0), child.text))
+            out.append(
+                (((doc.order[child], 0, 0), (id(child), "text")), child.text)
+            )
         if child.tail:
-            # the tail follows the child's ENTIRE subtree in document order
-            out.append(((doc.subtree_end[child], 2), child.tail))
-    out.sort(key=lambda p: p[0])
+            # the tail follows the child's ENTIRE subtree in document
+            # order; nested last-children share subtree_end, and there the
+            # DEEPER element's tail comes first — hence the -depth tiebreak
+            out.append(
+                (
+                    (
+                        (doc.subtree_end[child], 2, -doc.depth[child]),
+                        (id(child), "tail"),
+                    ),
+                    child.tail,
+                )
+            )
+    out.sort(key=lambda p: p[0][0])
     return out
 
 
@@ -199,7 +218,7 @@ def _parse_steps(branch: str):
 def eval_branch(branch: str, context: ET.Element, doc: Doc):
     absolute, steps = _parse_steps(branch)
     if not steps:
-        return [((doc.order[context], 0), ("el", doc.order[context]), context)]
+        return [((doc.order[context], 0, 0), ("el", doc.order[context]), context)]
     current = [doc.root if absolute else context]
     for idx, (sep, test, preds) in enumerate(steps):
         terminal = idx == len(steps) - 1
@@ -215,7 +234,11 @@ def eval_branch(branch: str, context: ET.Element, doc: Doc):
                 v = owner.get(attr)
                 if v is not None:
                     results.append(
-                        ((doc.order[owner], 1), ("at", doc.order[owner], attr), v)
+                        (
+                            (doc.order[owner], 1, 0),
+                            ("at", doc.order[owner], attr),
+                            v,
+                        )
                     )
             return results
         if test == "text()":
@@ -224,18 +247,31 @@ def eval_branch(branch: str, context: ET.Element, doc: Doc):
             results = []
             for el in current:
                 if sep == "//":
-                    for key, val in _text_pieces(el, doc):
-                        results.append((key, ("tx", key), val))
+                    for (okey, ident), val in _text_pieces(el, doc):
+                        results.append((okey, ("tx", ident), val))
                 else:
                     # direct child text: el.text + tails of direct children
                     if el.text:
                         results.append(
-                            ((doc.order[el], 0), ("tx", (doc.order[el], 0)), el.text)
+                            (
+                                (doc.order[el], 0, 0),
+                                ("tx", (id(el), "text")),
+                                el.text,
+                            )
                         )
                     for child in el:
                         if child.tail:
-                            key = (doc.subtree_end[child], 2)
-                            results.append((key, ("tx", key), child.tail))
+                            results.append(
+                                (
+                                    (
+                                        doc.subtree_end[child],
+                                        2,
+                                        -doc.depth[child],
+                                    ),
+                                    ("tx", (id(child), "tail")),
+                                    child.tail,
+                                )
+                            )
             return results
         nxt = []
         for el in current:
@@ -255,7 +291,7 @@ def eval_branch(branch: str, context: ET.Element, doc: Doc):
             current.append(el)
         if terminal:
             return [
-                ((doc.order[el], 0), ("el", doc.order[el]), el) for el in current
+                ((doc.order[el], 0, 0), ("el", doc.order[el]), el) for el in current
             ]
     return []
 
