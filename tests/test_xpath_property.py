@@ -118,3 +118,48 @@ def test_xpath_lite_matches_et_oracle(doc, xpath):
     et = Doc(xhtml)
     want = eval_xpath(xpath, et.root, et)
     assert got == want, (xpath, xhtml, got, want)
+
+
+@st.composite
+def relative_xpaths(draw):
+    """Context-relative shapes as the block url/title/text xpaths use:
+    bare-name first steps and './/'-prefixed descents (no absolute '//',
+    which would escape the context back to the document root)."""
+    branches = []
+    for _ in range(draw(st.integers(1, 2))):
+        parts = []
+        for i in range(draw(st.integers(1, 2))):
+            sep = ".//" if i == 0 and draw(st.booleans()) else (
+                "" if i == 0 else draw(st.sampled_from(["/", "//"]))
+            )
+            test = draw(st.sampled_from(TAGS + ["*"]))
+            preds = "".join(
+                f"[{draw(predicates())}]"
+                for _ in range(draw(st.integers(0, 1)))
+            )
+            parts.append(f"{sep}{test}{preds}")
+        terminal = draw(
+            st.sampled_from(["//text()", "/text()", "/@class", "/@href"])
+        )
+        branches.append("".join(parts) + terminal)
+    return " | ".join(branches)
+
+
+@settings(max_examples=300, deadline=None)
+@given(doc=elements(), xpath=relative_xpaths(), pick=st.integers(0, 7))
+def test_relative_evaluation_matches_et_oracle(doc, xpath, pick):
+    """Relative evaluation from an INNER context element — the exact shape
+    the block extractor uses (url/title/text xpaths run against each
+    selected block element, not the document)."""
+    xhtml = f"<html><body>{serialize(doc)}</body></html>"
+    root = parse_html(xhtml)
+    et = Doc(xhtml)
+    engine_els = XPathLite("//*").evaluate(root)
+    oracle_els = eval_xpath("//*", et.root, et)
+    assert len(engine_els) == len(oracle_els)
+    if not engine_els:
+        return
+    idx = pick % len(engine_els)
+    got = XPathLite(xpath).evaluate(engine_els[idx], root)
+    want = eval_xpath(xpath, oracle_els[idx], et)
+    assert got == want, (xpath, xhtml, idx, got, want)

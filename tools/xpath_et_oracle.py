@@ -66,11 +66,11 @@ def _text_pieces(el: ET.Element, doc: Doc):
     still distinct nodes and never dedup together."""
     out = []
     if el.text:
-        out.append((((doc.order[el], 0, 0), (id(el), "text")), el.text))
+        out.append((((doc.order[el], 2, 0), (id(el), "text")), el.text))
     for child in _descendants(el):
         if child.text:
             out.append(
-                (((doc.order[child], 0, 0), (id(child), "text")), child.text)
+                (((doc.order[child], 2, 0), (id(child), "text")), child.text)
             )
         if child.tail:
             # the tail follows the child's ENTIRE subtree in document
@@ -79,7 +79,7 @@ def _text_pieces(el: ET.Element, doc: Doc):
             out.append(
                 (
                     (
-                        (doc.subtree_end[child], 2, -doc.depth[child]),
+                        (doc.subtree_end[child], 3, -doc.depth[child]),
                         (id(child), "tail"),
                     ),
                     child.tail,
@@ -229,7 +229,12 @@ def eval_branch(branch: str, context: ET.Element, doc: Doc):
             results = []
             owners = []
             for el in current:
-                owners.extend(_descendants(el) if sep == "//" else [el])
+                if sep == "//":
+                    if absolute and idx == 0:
+                        owners.append(el)
+                    owners.extend(_descendants(el))
+                else:
+                    owners.append(el)
             for owner in owners:
                 v = owner.get(attr)
                 if v is not None:
@@ -254,7 +259,7 @@ def eval_branch(branch: str, context: ET.Element, doc: Doc):
                     if el.text:
                         results.append(
                             (
-                                (doc.order[el], 0, 0),
+                                (doc.order[el], 2, 0),
                                 ("tx", (id(el), "text")),
                                 el.text,
                             )
@@ -265,7 +270,7 @@ def eval_branch(branch: str, context: ET.Element, doc: Doc):
                                 (
                                     (
                                         doc.subtree_end[child],
-                                        2,
+                                        3,
                                         -doc.depth[child],
                                     ),
                                     ("tx", (id(child), "tail")),
@@ -275,7 +280,17 @@ def eval_branch(branch: str, context: ET.Element, doc: Doc):
             return results
         nxt = []
         for el in current:
-            pool = _descendants(el) if sep == "//" else iter(el)
+            if sep == "//":
+                # '//x' = /descendant-or-self::node()/child::x. From the
+                # DOCUMENT (absolute first step) the root element itself is
+                # a candidate — ET has no document node, so include el
+                # explicitly there.
+                if absolute and idx == 0:
+                    pool = iter([el, *_descendants(el)])
+                else:
+                    pool = _descendants(el)
+            else:
+                pool = iter(el)
             for cand in pool:
                 if test != "*" and cand.tag != test:
                     continue
