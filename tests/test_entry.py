@@ -22,6 +22,32 @@ def test_queries_and_oracles_aligned():
     assert len(qs) >= 30
 
 
+def test_gate_window_covers_flagship_entries():
+    """The driver's correctness gate checks exactly the FIRST 50 entries of
+    queries() in iteration order. Pin the invariants: the window is exactly
+    the explicit _GATE_ORDER list, every windowed entry is oracle-backed,
+    and the round's flagship parity entries sit inside it."""
+    from archive_query_log_spark.entry_queries import _GATE_ORDER
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    names = list(qs)
+    assert len(_GATE_ORDER) == 50
+    assert names[:50] == _GATE_ORDER
+    assert list(oracles)[: len(_GATE_ORDER)] == [
+        n for n in _GATE_ORDER if n in oracles
+    ]
+    missing_oracle = [n for n in names[:50] if n not in oracles]
+    assert not missing_oracle, missing_oracle
+    flagship = {
+        "flagship_crawl_schedule", "w4_reference_rules", "warc_rules_parity",
+        "wsrb_rules_parity", "wsrb_extract", "wq_extract",
+        "c18_encoding_waterfall", "q5_compare", "c10_unfurl",
+        "w4_first_match_cascade", "q4_completion_suggest",
+        "dedup_pipeline_e2e", "j1_real_providers",
+    }
+    assert flagship <= set(names[:50])
+
+
 def test_spotcheck_three_oracles(spark):
     import duckdb
 
