@@ -49,6 +49,33 @@ def test_corpus_covers_every_query_rule(corpus):
     assert winners == set(range(74))
 
 
+# block rules that can never win the reference's first-match cascade: an
+# EARLIER rule with the same provider and url_pattern selects a superset of
+# their elements, so parse() always returns the earlier rule's blocks.
+# (Counterpart of the 3 provably-dead URL rules found in the url_query/
+# url_page/url_offset tables.)
+DEAD_BLOCK_RULES = {26: 25, 58: 57, 66: 65, 80: 79}
+
+
+def test_unwon_block_rules_are_provably_dead(corpus):
+    """84/88 block rules win a corpus document; the other 4 are
+    structurally unreachable IN THE REFERENCE: their url_pattern+provider
+    equal an earlier rule's and their block xpath is that rule's xpath
+    verbatim (26/58/80 — markup-variant fallbacks whose relative
+    url/title/text xpaths can never execute) or one of its union branches
+    (66)."""
+    rules = {r["rule_order"]: r for r in warc_rules.load_warc_rules("warc_wsrb")}
+    winners = {r["wsrb_rule"] for r in corpus["wsrb"]}
+    assert set(range(88)) - winners == set(DEAD_BLOCK_RULES)
+    for dead, alive in DEAD_BLOCK_RULES.items():
+        d, a = rules[dead], rules[alive]
+        assert d["provider_id"] == a["provider_id"]
+        assert d["url_pattern"] == a["url_pattern"]
+        alive_branches = [s.strip() for s in a["xpath"].split("|")]
+        dead_branches = [s.strip() for s in d["xpath"].split("|")]
+        assert all(b in alive_branches for b in dead_branches), (dead, alive)
+
+
 def test_warc_query_parity_python(corpus):
     """Engine vs frozen goldens, full 153-row corpus, driver-side (the
     same _parse_query the UDF batches over)."""
