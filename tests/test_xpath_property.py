@@ -58,14 +58,15 @@ def serialize(el) -> str:
 
 
 @st.composite
-def predicates(draw, depth=0):
-    kind = draw(
-        st.sampled_from(
-            ["exists", "eq", "class", "contains", "starts", "not", "and"]
-            if depth < 2
-            else ["exists", "eq", "class", "contains", "starts"]
-        )
-    )
+def predicates(draw, depth=0, standalone=False):
+    # pos/haschild are whole-predicate-body forms in the rule grammar
+    # (never nested under not()/and) — generate them only standalone
+    kinds = ["exists", "eq", "class", "contains", "starts"]
+    if depth < 2:
+        kinds += ["not", "and"]
+    if standalone:
+        kinds += ["pos", "haschild"]
+    kind = draw(st.sampled_from(kinds))
     attr = draw(st.sampled_from(ATTRS))
     word = draw(st.sampled_from(WORDS))
     if kind == "exists":
@@ -81,6 +82,10 @@ def predicates(draw, depth=0):
         return f"contains(@{attr}, '{word}')"
     if kind == "starts":
         return f"starts-with(@{attr}, '{word}')"
+    if kind == "pos":
+        return f"(count(preceding-sibling::*)+1) = {draw(st.integers(1, 3))}"
+    if kind == "haschild":
+        return f"./{draw(st.sampled_from(TAGS))}"
     if kind == "not":
         return f"not({draw(predicates(depth=depth + 1))})"
     left = draw(predicates(depth=depth + 1))
@@ -101,7 +106,7 @@ def xpaths(draw):
                 sep = lead
             test = draw(st.sampled_from(TAGS + ["*"]))
             preds = "".join(
-                f"[{draw(predicates())}]"
+                f"[{draw(predicates(standalone=True))}]"
                 for _ in range(draw(st.integers(0, 2)))
             )
             parts.append(f"{sep}{test}{preds}")
@@ -134,7 +139,7 @@ def relative_xpaths(draw):
             )
             test = draw(st.sampled_from(TAGS + ["*"]))
             preds = "".join(
-                f"[{draw(predicates())}]"
+                f"[{draw(predicates(standalone=True))}]"
                 for _ in range(draw(st.integers(0, 1)))
             )
             parts.append(f"{sep}{test}{preds}")
