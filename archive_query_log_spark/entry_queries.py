@@ -1822,8 +1822,8 @@ SELECT event_id,
            -2, len(string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.'))), '.') AS reg_domain,
        CAST(len(list_filter(string_split(coalesce(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1), ''), '/'),
             s -> len(s) > 0)) AS INT) AS n_segments,
-       list_sort(list_transform(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-            kv -> len(kv) > 0), kv -> string_split(kv, '=')[1])) AS param_names
+       array_to_string(list_sort(list_transform(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+            kv -> len(kv) > 0), kv -> string_split(kv, '=')[1])), ',') AS param_names
 FROM u
 """,
 )
@@ -1853,10 +1853,15 @@ def c10_unfurl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.coalesce(U.url_path("url"), F.lit("")), "/"),
         lambda s: F.length(s) > 0,
     )
-    param_names = F.array_sort(
-        F.transform(
-            U.query_params_array("url"), lambda kv: F.split(kv, "=")[0]
-        )
+    # Serialized to a comma-joined string: the driver's pandas canonicalizer
+    # cannot hash list cells (same constraint as u1_array_merge above).
+    param_names = F.array_join(
+        F.array_sort(
+            F.transform(
+                U.query_params_array("url"), lambda kv: F.split(kv, "=")[0]
+            )
+        ),
+        ",",
     )
     return u.select(
         "event_id",

@@ -48,6 +48,30 @@ def test_gate_window_covers_flagship_entries():
     assert flagship <= set(names[:50])
 
 
+def test_gate_window_has_no_collection_columns(spark):
+    """The driver's oracle harness canonicalizes results via pandas
+    ``sort_values``, which cannot hash list/dict cells — a gated entry
+    returning a top-level Array/Map/Struct column crashes the harness even
+    when its answer is correct (this bit c10_unfurl in round 3 and a round-1
+    entry before it). Pin it: every _GATE_ORDER entry's schema must be flat.
+    Entries that conceptually produce collections serialize them
+    (``F.array_join`` / ``to_json``) with a matching serialization in the
+    DuckDB oracle."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from archive_query_log_spark.entry_queries import _GATE_ORDER
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name in _GATE_ORDER:
+        schema = qs[name](spark, sf).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not bad, bad
+
+
 def test_spotcheck_three_oracles(spark):
     import duckdb
 
