@@ -375,6 +375,16 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# Telemetry of the most recent connected_components call (rounds taken,
+# input edge count, whether the driver union-find cutover fired). Written
+# by every path so bench.py can surface convergence behavior — a CC round-
+# count regression otherwise looks identical to machine contention in the
+# wall-clock number.
+LAST_CC_TELEMETRY: dict = {
+    "method": None, "rounds": 0, "edges": 0, "cutover": False,
+}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -426,6 +436,9 @@ def connected_components(
         ).distinct()
         edges = fwd.limit(local_threshold + 1).collect()
         if len(edges) <= local_threshold:
+            LAST_CC_TELEMETRY.update(
+                method="local", rounds=0, edges=len(edges), cutover=True
+            )
             return _cc_local(
                 pairs.sparkSession, edges, pairs.schema[id_a].dataType
             )
@@ -436,8 +449,11 @@ def connected_components(
         fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).distinct()
     edges = edges.localCheckpoint()
+    LAST_CC_TELEMETRY.update(
+        method="minlabel", rounds=0, edges=edges.count(), cutover=False
+    )
     labels = edges.select("x").distinct().withColumn("lbl", F.col("x"))
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         nbr_min = (
             edges.join(labels.withColumnRenamed("x", "y"), on="y")
             .groupBy("x")
@@ -460,6 +476,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        LAST_CC_TELEMETRY["rounds"] = _round + 1
         if changed == 0:
             break
     else:
@@ -545,7 +562,11 @@ def _cc_star(
     )
     edges = fwd.distinct().localCheckpoint()
     sig = _edge_checksum(edges)
-    for _ in range(max_iter):
+    LAST_CC_TELEMETRY.update(
+        method="star", rounds=0, edges=sig[0], cutover=False
+    )
+    for _round in range(max_iter):
+        prev_edges = edges
         # --- large-star ---
         sym = edges.union(
             edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
@@ -574,8 +595,16 @@ def _cc_star(
             .localCheckpoint()
         )
         new_sig = _edge_checksum(edges)
+        LAST_CC_TELEMETRY["rounds"] = _round + 1
         if new_sig == sig:
-            break
+            # Checksum-collision guard: the (count, sum, xor) signature could
+            # in principle collide between two DIFFERENT edge sets, which
+            # would silently split components. Confirm the fixpoint with one
+            # exact set comparison — counts already match, edge sets are
+            # distinct, so a one-directional exceptAll emptiness check proves
+            # equality. Runs ONCE, at convergence, not per round.
+            if edges.exceptAll(prev_edges).count() == 0:
+                break
         sig = new_sig
     else:
         raise RuntimeError(
