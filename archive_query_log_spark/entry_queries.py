@@ -1455,6 +1455,105 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
 
+# Evaluation bank for the frozen trigram model entry: 2 held-out sentences
+# per language (disjoint from tools/train_lang_model.py's training corpus)
+# + 2 no-language strings that must predict null. Embedded on BOTH sides
+# (Spark literal array / SQL VALUES), indexed by doc_id % len(bank).
+# Apostrophe-free so the SQL literals need no escaping.
+_LANG_EVAL_BANK: list[str] = [
+    "the children were playing in the garden while their parents watched from the window",
+    "it is often said that practice makes perfect when learning a new language",
+    "die katze schläft den ganzen tag auf dem warmen sofa im wohnzimmer",
+    "morgen werden wir mit dem zug in die berge fahren und dort wandern",
+    "le chat dort toute la journée sur le canapé chaud du salon",
+    "demain nous prendrons le train pour aller marcher dans les montagnes",
+    "el gato duerme todo el día en el sofá caliente de la sala",
+    "mañana tomaremos el tren para ir a caminar por las montañas",
+    "il gatto dorme tutto il giorno sul divano caldo del soggiorno",
+    "domani prenderemo il treno per andare a camminare in montagna",
+    "o gato dorme o dia inteiro no sofá quente da sala de estar",
+    "amanhã vamos pegar o trem para caminhar nas montanhas com amigos",
+    "de kat slaapt de hele dag op de warme bank in de woonkamer",
+    "morgen nemen we de trein om in de bergen te gaan wandelen",
+    "katten sover hela dagen på den varma soffan i vardagsrummet",
+    "imorgon tar vi tåget för att vandra i bergen med våra vänner",
+    "kot śpi cały dzień na ciepłej kanapie w salonie obok okna",
+    "jutro pojedziemy pociągiem w góry żeby wędrować ze znajomymi",
+    "kedi bütün gün oturma odasındaki sıcak koltukta uyuyor sessizce",
+    "yarın trenle dağlara gidip arkadaşlarla yürüyüş yapacağız birlikte",
+    "kucing itu tidur sepanjang hari di sofa hangat di ruang keluarga",
+    "besok kami akan naik kereta untuk berjalan di pegunungan bersama teman",
+    "кошка спит весь день на тёплом диване в гостиной у окна",
+    "завтра мы поедем на поезде в горы чтобы гулять с друзьями",
+    "12345 67890 24680 13579 00000 11111 22222 33333 44444 55555",
+    "#@!% 9876 ???? ++++ 0000 ---- &&&& ****",
+]
+
+
+def _lang_model_oracle() -> str:
+    from archive_query_log_spark.functions.lang_model import (
+        oracle_weight_values,
+    )
+
+    bank = ",\n    ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_LANG_EVAL_BANK)
+    )
+    return f"""
+WITH bank(i, raw) AS (VALUES
+    {bank}),
+docs AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(raw), '[ \t\n\r\f\v]+', ' ', 'g')) || ' ' AS s
+  FROM documents JOIN bank ON CAST(doc_id % {len(_LANG_EVAL_BANK)} AS INT) = i
+  WHERE doc_id < 2000
+),
+tris AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(s) - 2, 0)),
+                               i -> substr(s, CAST(i + 1 AS INT), 3))) AS tri
+  FROM docs
+),
+w(lang, tri, wt) AS (VALUES
+    {oracle_weight_values()}),
+scores AS (
+  SELECT doc_id, lang, sum(wt) AS score
+  FROM tris JOIN w USING (tri) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scores WHERE score > 0
+)
+SELECT d.doc_id, b.lang AS pred_lang,
+       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+FROM docs d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+@_q("text_lang_id_model", _lang_model_oracle())
+def text_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 with a REAL (frozen, deterministic) model in the lang_id_udf
+    slot: the char-trigram linear scorer of data/lang_trigram_model.json
+    (trained by tools/train_lang_model.py, exact rational arithmetic). The
+    DuckDB oracle embeds the SAME 3,072 frozen weights and reproduces the
+    weighted-hit-sum argmax exactly, so prediction AND score are value-hash
+    gated — the honest upgrade over the stopword heuristic the reference's
+    cld3 call (scripts/create_corpus.py:41-48) is otherwise stood in by."""
+    from archive_query_log_spark.functions.lang_model import predict_lang
+
+    bank = F.array(*[F.lit(s) for s in _LANG_EVAL_BANK])
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 2000)
+    text = F.element_at(
+        bank, (F.pmod("doc_id", F.lit(len(_LANG_EVAL_BANK))) + 1).cast("int")
+    )
+    p = predict_lang(text)
+    return d.select(
+        "doc_id",
+        p.getField("pred_lang").alias("pred_lang"),
+        p.getField("score").alias("score"),
+    )
+
+
 @_q(
     "text_quality",
     f"""

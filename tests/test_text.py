@@ -103,3 +103,57 @@ def test_encoding_waterfall_semantics():
     bom = "x".encode("utf-8-sig")
     cands = E.candidate_encodings(bom, "text/html; charset=utf-8")
     assert cands.index("utf-8") < cands.index("utf-8-sig")
+
+
+def test_lang_model_artifact_regenerates_byte_identically():
+    """The frozen trigram artifact must be exactly what the trainer emits
+    (exact rational arithmetic — no platform float drift); a drifted or
+    hand-edited artifact breaks the oracle-parity guarantee."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import train_lang_model as trainer
+
+    committed = trainer.OUT.read_text()
+    regenerated = (
+        json.dumps(trainer.train(), ensure_ascii=False, indent=1, sort_keys=True)
+        + "\n"
+    )
+    assert regenerated == committed
+
+
+def test_lang_model_heldout_bank_all_correct():
+    """The frozen model must label every held-out evaluation-bank sentence
+    (2 per language, disjoint from the training corpus) with its true
+    language and the two no-language strings with null."""
+    from archive_query_log_spark.entry_queries import _LANG_EVAL_BANK
+    from archive_query_log_spark.functions.lang_model import predict_batch
+
+    langs = ["en", "de", "fr", "es", "it", "pt", "nl", "sv", "pl", "tr",
+             "id", "ru"]
+    expect = [lang for lang in langs for _ in range(2)] + [None, None]
+    got = predict_batch(_LANG_EVAL_BANK)
+    assert [lang for lang, _ in got] == expect
+    assert all(score > 0 for (lang, score) in got if lang is not None)
+    assert all(score == 0 for (lang, score) in got if lang is None)
+
+
+def test_lang_model_plugs_into_lang_id_udf_slot(spark):
+    """model_predict drops into lang_id_udf(model_predict=...) unchanged —
+    the slot contract the stopword default and any real model share."""
+    from archive_query_log_spark.entry_queries import _LANG_EVAL_BANK
+    from archive_query_log_spark.functions import lang_model
+    from archive_query_log_spark.functions.text import lang_id_udf
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_LANG_EVAL_BANK)], "i int, text string"
+    )
+    udf = lang_id_udf(model_predict=lang_model.model_predict)
+    got = {
+        r["i"]: r["pred"]
+        for r in df.select("i", udf("text").alias("pred")).collect()
+    }
+    expect = lang_model.model_predict(_LANG_EVAL_BANK)
+    assert [got[i] for i in range(len(_LANG_EVAL_BANK))] == expect
