@@ -43,7 +43,14 @@ def candidate_encodings(buf: bytes, content_type: str | None = None) -> list[str
             break
     detected.extend(_FALLBACKS)
     encodings: list[str] = []
-    if content_type is not None and "charset=" in content_type:
+    # exact xml.py:55-59 condition: the header charset is only honored when
+    # the Content-Type ALSO contains ';' — a malformed bare "charset=x"
+    # header is ignored, matching the reference branch for branch
+    if (
+        content_type is not None
+        and ";" in content_type
+        and "charset=" in content_type
+    ):
         encodings.extend(
             part.strip().removeprefix("charset=").lower()
             for part in content_type.split(";")
@@ -71,6 +78,37 @@ def detect_decode(
         except (UnicodeDecodeError, UnicodeError, LookupError):
             continue
     return None
+
+
+def parse_gate(
+    head: str | None, content_type: str | None
+) -> tuple[str | None, str]:
+    """Post-decode parse gating, reproducing parse_xml_tree's decision order
+    (xml.py:28-31,105-119) on the first 100 decoded characters:
+
+    1. no Content-Type header at all → (None, 'no-mime')  (xml.py:28-31)
+    2. mime = header up to the first ';'                  (xml.py:31)
+    3. '<' not in head → (None, 'non-xml')  — silent skip (xml.py:105-107)
+    4. head[0] in '{[\"' → (None, 'json-like')            (xml.py:108-110)
+    5. text/xml → ('xml', 'ok'); text/html → ('html', 'ok');
+       anything else → (None, 'no-parser')                (xml.py:112-119)
+
+    Order matters and is pinned by tests: a JSON payload whose text contains
+    '<' is rejected as json-like, one without '<' as non-xml, both BEFORE
+    the parser-selection branch even when the mime type is unparseable."""
+    if content_type is None:
+        return None, "no-mime"
+    mime = content_type.split(";", 1)[0]
+    head = head or ""
+    if "<" not in head:
+        return None, "non-xml"
+    if head[:1] in ("{", "[", '"'):
+        return None, "json-like"
+    if mime == "text/xml":
+        return "xml", "ok"
+    if mime == "text/html":
+        return "html", "ok"
+    return None, "no-parser"
 
 
 def decode_text_udf():
