@@ -399,7 +399,12 @@ def normalize_http_url(url: Column | str) -> Column:
         | (
             port.isNotNull()
             & (port != "")
-            & ~port.rlike("^[1-9][0-9]{0,4}$")
+            & (
+                ~port.rlike("^[1-9][0-9]{0,4}$")
+                # pydantic rejects ports > 65535 — NULL-route them to the
+                # UDF so the 'wrong → NULL' contract holds for 65536-99999
+                | (port.cast("int") > 65535)
+            )
         )
     )
     return F.when(

@@ -149,10 +149,14 @@ def _normalize_block_url(joined: str) -> str | None:
     (warc_web_search_result_blocks.py:140-141,170) — WHATWG-normalized.
     An invalid URL raises ValidationError there (killing the whole parse);
     per this repo's per-row-errors-never-kill-the-job rule it becomes None
-    here instead (documented divergence). Without pydantic the raw joined
-    URL is kept (documented divergence)."""
-    if _HttpUrl is None:
-        return joined
+    here instead (documented divergence). pydantic's presence is enforced
+    at result_blocks_udf construction — a missing wheel fails fast rather
+    than silently emitting raw (environment-dependent) URLs."""
+    if _HttpUrl is None:  # pragma: no cover - constructor fails fast first
+        raise ImportError(
+            "pydantic is required for block-URL normalization; "
+            "result_blocks_udf refuses to construct without it"
+        )
     try:
         return _HttpUrl(joined).encoded_string()
     except Exception:
@@ -211,9 +215,18 @@ def _extract_blocks(provider_id, url, html, rules) -> list[dict] | None:
 
 def result_blocks_udf(table: str = "warc_wsrb"):
     """(provider_id, url, html) → array of block structs through the real
-    88-rule (or 1-rule special-contents) table."""
+    88-rule (or 1-rule special-contents) table. Fails fast (ImportError)
+    when pydantic is absent — block_url values would otherwise silently
+    differ between environments with and without the wheel (mirrors
+    normalize_http_url_udf's fail-fast contract)."""
     from pyspark.sql.functions import pandas_udf
 
+    if _HttpUrl is None:
+        raise ImportError(
+            "pydantic is required: result_blocks_udf normalizes block URLs "
+            "with HttpUrl, and running without it would produce "
+            "environment-dependent output"
+        )
     rules = _compiled_block_rules(table)
 
     @pandas_udf(_BLOCK_TYPE)

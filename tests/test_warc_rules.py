@@ -245,3 +245,52 @@ def test_dom_recovery_and_entities():
     assert XPathLite("//p[contains(@class, 'foo')]//text()").evaluate(
         doc3
     ) == ["no", "yes"]
+
+
+def test_misnested_markup_recovery_pinned():
+    """Pin handle_endtag's misnesting recovery (xpath_lite.py:109-117):
+    an end tag closes every open element up to its nearest matching
+    ancestor; a stray end tag with no open ancestor is ignored. This
+    DIFFERS from libxml2's adoption-style recovery on interleaved inline
+    markup (documented in the module docstring); these fixtures freeze the
+    chosen behavior so real-SERP rule selections can't drift silently."""
+    from archive_query_log_spark.functions.xpath_lite import (
+        XPathLite,
+        parse_html,
+    )
+
+    # classic interleave <b><i></b>text</i>: </b> closes BOTH i and b
+    # (nearest matching ancestor is b, everything above it pops), so the
+    # trailing text lands in the outer div, and the stray </i> is ignored.
+    doc = parse_html("<div><b><i>x</b>tail</i></div>")
+    assert XPathLite("//b//i//text()").evaluate(doc) == ["x"]
+    assert XPathLite("//div/text()").evaluate(doc) == ["tail"]
+    assert XPathLite("//i/text()").evaluate(doc) == ["x"]
+
+    # unclosed <li>s: each new li nests under the previous (html.parser
+    # does NOT auto-close li like a browser); </ul> closes the whole chain.
+    doc = parse_html("<ul><li>a<li>b</ul><p>after</p>")
+    assert XPathLite("//li//li/text()").evaluate(doc) == ["b"]
+    assert XPathLite("//p/text()").evaluate(doc) == ["after"]
+
+    # end tag matching a DEEP ancestor pops the entire intermediate chain:
+    # </section> from inside span closes span, div, section in one step.
+    doc = parse_html(
+        "<section><div><span>deep</section><em>out</em>"
+    )
+    assert XPathLite("//section//span/text()").evaluate(doc) == ["deep"]
+    # em is a sibling of section (stack recovered to the root)
+    assert XPathLite("//em/text()").evaluate(doc) == ["out"]
+    assert XPathLite("//section//em").evaluate(doc) == []
+
+    # stray end tag with NO matching open ancestor: ignored, structure kept
+    doc = parse_html("<div>a</table>b<span>c</span></div>")
+    assert XPathLite("//div//text()").evaluate(doc) == ["a", "b", "c"]
+    assert XPathLite("//div/span/text()").evaluate(doc) == ["c"]
+
+    # nested anchors — the shape real SERP result blocks hit: html.parser
+    # does NOT auto-close <a> on a new <a> (browsers do), so a2 nests under
+    # a1; the first </a> closes a2 (nearest match), the second closes a1.
+    doc = parse_html('<div><a href="u1">t1<a href="u2">t2</a></a></div>')
+    assert XPathLite("//a/@href").evaluate(doc) == ["u1", "u2"]
+    assert XPathLite("//a//a/@href").evaluate(doc) == ["u2"]
