@@ -355,7 +355,7 @@ def j1_real_providers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c.c_custkey AS custkey,
        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
-                (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+                (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue,
        count(*) AS n_items
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -365,7 +365,10 @@ GROUP BY c.c_custkey ORDER BY revenue DESC, custkey LIMIT 100
 )
 def j2_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: multi-way equi-join by key (create_corpus.py:116-138 shape).
-    Revenue summed in DECIMAL → exact and order-independent across engines."""
+    Revenue summed in DECIMAL → exact and order-independent across engines.
+    The result STAYS decimal(38,6): a final double cast diverged by 1 ulp
+    between Spark's and DuckDB's decimal→double conversion at sf0.1
+    magnitudes (caught by the round-4 large-sf sweep)."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -377,7 +380,10 @@ def j2_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c["c_custkey"] == o["o_custkey"])
         .join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy(F.col("c_custkey").alias("custkey"))
-        .agg(rev.cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            rev.cast("decimal(38,6)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(100)
     )
@@ -1338,17 +1344,30 @@ def _ivf_quantizer() -> dict:
 def _ivf_oracle() -> str:
     """Probe selection + exact rerank with the FROZEN coarse quantizer as
     literals (tools/make_ivf_centroids.py): assignment = argmin squared
-    distance over the 8 centroid literals, probe filter = the query's 3
-    nearest clusters (precomputed from the same literals), rerank = the
-    exact-cosine shape of _ANN_ORACLE."""
+    distance over the 8 centroid literals, probe filter = the query's
+    n_probe nearest clusters COMPUTED IN SQL from the same literals (tie →
+    lowest cluster index, matching query_probes' stable argsort), rerank =
+    the exact-cosine shape of _ANN_ORACLE. Probes were frozen literals
+    until round 4 — the sf0.1 spot-check caught that a frozen probe list is
+    only right at the SF whose query vector it was derived from; computing
+    them per-SF makes probe selection itself oracle-checked at any scale."""
     cfg = _ivf_quantizer()
     dim = cfg["dim"]
+    n_cent = len(cfg["centroids"])
     cents = ", ".join(
         "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cfg["centroids"]
     )
-    probes = ", ".join(str(p) for p in cfg["probes_for_query_vec"])
     return f"""
 WITH cents AS (SELECT [{cents}] AS cs),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {cfg["query_vec_id"]}),
+idx AS (SELECT unnest(generate_series(1, {n_cent})) AS ci),
+cdist AS (
+  SELECT ci - 1 AS c,
+         list_sum(list_transform(generate_series(1, {dim}),
+             i -> pow(CAST(qv[i] AS DOUBLE) - cs[ci][i], 2))) AS d2
+  FROM idx, q, cents
+),
+probes AS (SELECT c FROM cdist ORDER BY d2, c LIMIT {cfg["n_probe"]}),
 assigned AS (
   SELECT e.vec_id, e.embedding,
          list_position(d, list_min(d)) - 1 AS c
@@ -1360,7 +1379,6 @@ assigned AS (
     FROM embeddings, cents
   ) e
 ),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {cfg["query_vec_id"]}),
 s AS (
   SELECT a.vec_id,
          list_sum(list_transform(generate_series(1, {dim}),
@@ -1369,7 +1387,7 @@ s AS (
              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
           * sqrt(list_sum(list_transform(generate_series(1, {dim}),
              i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))) AS sim
-  FROM assigned a, q WHERE a.c IN ({probes})
+  FROM assigned a, q WHERE a.c IN (SELECT c FROM probes)
 )
 SELECT vec_id, round(sim, 4) AS cos_sim FROM s
 ORDER BY round(sim, 4) DESC, vec_id LIMIT 10
@@ -2144,6 +2162,26 @@ def warc_rules_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_warc_queries(df).select(
         "capture_id", "warc_query", "wq_rule"
     )
+
+
+@_q("serp_combined_parity", _warc_query_oracle_sql())
+def serp_combined_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_serp (round 4): BOTH WARC cascades off one shared DOM parse
+    per document — 3.0× the separate-pass throughput on the real corpus
+    (bench warc_xpath_real.combined). Gated here on the query side against
+    the same frozen 153-document goldens as warc_rules_parity; the block
+    side is pinned by the python parity test over synthetic + real fixtures
+    and the bench's equal-extraction-counts assert."""
+    from archive_query_log_spark.operators.warc_rules import parse_serp
+
+    rows = [
+        (r["capture_id"], r["provider_id"], r["url"], r["html"])
+        for r in _warc_corpus()["warc_query"]
+    ]
+    df = spark.createDataFrame(
+        rows, "capture_id string, provider_id string, url string, html string"
+    ).repartition(8)
+    return parse_serp(df).select("capture_id", "warc_query", "wq_rule")
 
 
 def _wsrb_rules_oracle_sql() -> str:

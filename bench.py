@@ -363,6 +363,7 @@ def warc_xpath_real_bench(master: str) -> dict | None:
 
     from archive_query_log_spark.operators.warc_rules import (
         extract_result_blocks,
+        parse_serp,
         parse_warc_queries,
     )
     from archive_query_log_spark.session import get_spark
@@ -389,6 +390,17 @@ def warc_xpath_real_bench(master: str) -> dict | None:
         nb = extract_result_blocks(base).count()
         return nq, nb
 
+    def run_combined():
+        row = (
+            parse_serp(base)
+            .agg(
+                F.count("warc_query").alias("nq"),
+                F.coalesce(F.sum(F.size("blocks")), F.lit(0)).alias("nb"),
+            )
+            .collect()[0]
+        )
+        return row["nq"], row["nb"]
+
     run()  # warm
     best, nq, nb = None, 0, 0
     for _ in range(2):
@@ -396,7 +408,15 @@ def warc_xpath_real_bench(master: str) -> dict | None:
         nq, nb = run()
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
+    run_combined()  # warm
+    best_c, nq_c, nb_c = None, 0, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        nq_c, nb_c = run_combined()
+        dt = time.perf_counter() - t0
+        best_c = dt if best_c is None or dt < best_c else best_c
     spark.stop()
+    assert (nq, nb) == (nq_c, nb_c), "combined pass diverged from separate"
     n_docs = len(rows)
     return {
         "docs": n_docs,
@@ -411,6 +431,13 @@ def warc_xpath_real_bench(master: str) -> dict | None:
             "query + block cascades, each one map-only Arrow UDF pass over"
             " the real corpus (2 DOM parses/doc)"
         ),
+        # parse_serp: both cascades off ONE shared DOM parse per document
+        "combined": {
+            "sec": round(best_c, 3),
+            "docs_per_sec": round(n_docs / best_c, 1),
+            "mb_per_sec": round(total_bytes / best_c / 1e6, 2),
+            "speedup_vs_separate": round(best / best_c, 2),
+        },
     }
 
 

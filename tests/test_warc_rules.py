@@ -294,3 +294,64 @@ def test_misnested_markup_recovery_pinned():
     doc = parse_html('<div><a href="u1">t1<a href="u2">t2</a></a></div>')
     assert XPathLite("//a/@href").evaluate(doc) == ["u1", "u2"]
     assert XPathLite("//a//a/@href").evaluate(doc) == ["u2"]
+
+
+def test_parse_serp_combined_matches_separate_passes():
+    """parse_serp (one shared DOM parse per SERP) must produce exactly the
+    separate-pass results — _parse_query + _extract_blocks are read-only
+    over the DOM, so sharing it cannot change anything; this pins that."""
+    import glob
+    import gzip
+    import io
+
+    from archive_query_log_spark.operators.warc_rules import (
+        _LazyDoc,
+        _compiled_block_rules,
+        _extract_blocks,
+        _parse_query,
+    )
+    from archive_query_log_spark.sources.warc_fixtures import load_fixture_rows
+
+    rules = _compiled_block_rules("warc_wsrb")
+
+    # synthetic corpus rows (all rule families exercised) ...
+    corpus_doc = json.loads((DATA / "warc_rule_corpus.json").read_text())
+    rows = [
+        (r["provider_id"], r["url"], r["html"])
+        for r in corpus_doc["warc_query"] + corpus_doc["wsrb"]
+    ]
+    # ... plus real archived SERPs when the fixture tree is present
+    ref = Path("/root/reference/data/tests")
+    if ref.exists():
+        rows += load_fixture_rows(ref, limit_per_provider=3)
+
+    assert len(rows) > 200
+    for pid, url, html in rows:
+        lazy = _LazyDoc(html)
+        combined_q = _parse_query(pid, url, html, lazy)
+        combined_b = _extract_blocks(pid, url, html, rules, lazy)
+        assert combined_q == _parse_query(pid, url, html)
+        assert combined_b == _extract_blocks(pid, url, html, rules)
+
+
+def test_parse_serp_dataframe_shape(spark, corpus):
+    """The Spark-level combined operator: flat query columns + blocks array
+    appended in one pass, map-only."""
+    sample = [
+        (r["provider_id"], r["url"], r["html"])
+        for r in corpus["wsrb"][:40]
+    ]
+    df = spark.createDataFrame(
+        sample, "provider_id string, url string, html string"
+    )
+    out = warc_rules.parse_serp(df)
+    assert {"warc_query", "wq_rule", "blocks"} <= set(out.columns)
+    got = out.select(
+        F.count("*").alias("n"),
+        F.count("blocks").alias("with_blocks"),
+        F.sum(F.size("blocks")).alias("total_blocks"),
+    ).collect()[0]
+    assert got["n"] == 40 and got["with_blocks"] > 0 and got["total_blocks"] > 0
+    # exchange-free: no shuffle in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 from datetime import datetime
 from decimal import Decimal
@@ -17,7 +18,10 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with CHECK_ORACLE_SF_DIR=/root/testdata/sf0.1 for the large-sf
+# spot-check (catches scale-dependent plan changes: AQE re-plans,
+# broadcast-threshold flips)
+SF_DIR = os.environ.get("CHECK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
