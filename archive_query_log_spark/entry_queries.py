@@ -1346,7 +1346,8 @@ def _ivf_oracle() -> str:
     literals (tools/make_ivf_centroids.py): assignment = argmin squared
     distance over the 8 centroid literals, probe filter = the query's
     n_probe nearest clusters COMPUTED IN SQL from the same literals (tie →
-    lowest cluster index, matching query_probes' stable argsort), rerank =
+    lowest cluster index, matching query_probes' explicit (d2, index) sort
+    key), rerank =
     the exact-cosine shape of _ANN_ORACLE. Probes were frozen literals
     until round 4 — the sf0.1 spot-check caught that a frozen probe list is
     only right at the SF whose query vector it was derived from; computing

@@ -99,7 +99,9 @@ def parse_gate(
     if content_type is None:
         return None, "no-mime"
     mime = content_type.split(";", 1)[0]
-    head = head or ""
+    # the reference reads exactly 100 decoded chars (xml.py:100-104);
+    # enforce the slice here so callers may pass the full text
+    head = (head or "")[:100]
     if "<" not in head:
         return None, "non-xml"
     if head[:1] in ("{", "[", '"'):

@@ -379,7 +379,10 @@ def hamming64(a: Column, b: Column) -> Column:
 # input edge count, whether the driver union-find cutover fired). Written
 # by every path so bench.py can surface convergence behavior — a CC round-
 # count regression otherwise looks identical to machine contention in the
-# wall-clock number.
+# wall-clock number. `edges` is the DEDUPED ONE-DIRECTIONAL edge count,
+# recorded only where a path computes it anyway (star: checksum pass;
+# local: collected list); the minlabel twin records None rather than pay a
+# count() job for telemetry.
 LAST_CC_TELEMETRY: dict = {
     "method": None, "rounds": 0, "edges": 0, "cutover": False,
 }
@@ -449,8 +452,11 @@ def connected_components(
         fwd.select(F.col("y").alias("x"), F.col("x").alias("y"))
     ).distinct()
     edges = edges.localCheckpoint()
+    # edges=None: the minlabel twin does not pay a count() job just for
+    # telemetry (star/local record the deduped one-directional edge count
+    # as a byproduct of work they do anyway)
     LAST_CC_TELEMETRY.update(
-        method="minlabel", rounds=0, edges=edges.count(), cutover=False
+        method="minlabel", rounds=0, edges=None, cutover=False
     )
     labels = edges.select("x").distinct().withColumn("lbl", F.col("x"))
     for _round in range(max_iter):

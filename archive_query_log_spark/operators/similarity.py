@@ -330,12 +330,16 @@ def with_ivf_cluster(
 def query_probes(
     query_vec: list[float], centroids: list[list[float]], n_probe: int
 ) -> list[int]:
-    """Driver-side probe selection: the n_probe clusters nearest the query."""
+    """Driver-side probe selection: the n_probe clusters nearest the query.
+    Ties break by cluster index — explicitly, with a (d2, index) sort key —
+    so the selection matches the oracle's ORDER BY d2, c deterministically
+    (np.argsort's default quicksort is NOT stable)."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
-    return sorted(np.argsort(d2)[:n_probe].tolist())
+    order = sorted(range(len(d2)), key=lambda i: (d2[i], i))
+    return sorted(order[:n_probe])
 
 
 def ivf_topk(

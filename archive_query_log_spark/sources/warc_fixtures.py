@@ -25,8 +25,14 @@ __all__ = ["read_record_html", "load_fixture_rows"]
 def read_record_html(warc_path: Path, offset: int, length: int) -> str:
     """Decode one WARC response record (own gzip member) to HTML text:
     strip WARC + HTTP header blocks, gunzip a gzip-magic body, then decode
-    via the declared charset → utf-8 → utf-8-sig → replace ladder (the
-    reference's parse_xml_tree waterfall, parsers/utils/xml.py:46-95)."""
+    through the repo's PRODUCTION waterfall (functions/encoding.py
+    detect_decode: header charset → BOM sniff → utf-8 → cp1252,
+    windows-874→cp874) — the same text the pipeline's decode stage would
+    hand the cascades, so benches and parity runs over this loader measure
+    the production path. Final utf-8/'replace' only if even cp1252's
+    unmapped bytes reject the payload."""
+    from archive_query_log_spark.functions.encoding import detect_decode
+
     with warc_path.open("rb") as f:
         f.seek(offset)
         buf = f.read(length)
@@ -37,15 +43,14 @@ def read_record_html(warc_path: Path, offset: int, length: int) -> str:
     body = data[http_end + 4 :]
     if body[:2] == b"\x1f\x8b":
         body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
-    charset = None
-    for line in headers.lower().split("\r\n"):
-        if line.startswith("content-type") and "charset=" in line:
-            charset = line.split("charset=")[1].split(";")[0].strip()
-    for enc in ([charset] if charset else []) + ["utf-8", "utf-8-sig"]:
-        try:
-            return body.decode(enc)
-        except (UnicodeDecodeError, LookupError):
-            continue
+    content_type = None
+    for line in headers.split("\r\n"):
+        if line.lower().startswith("content-type"):
+            content_type = line.split(":", 1)[1].strip()
+            break
+    got = detect_decode(body, content_type)
+    if got is not None:
+        return got[1]
     return body.decode("utf-8", "replace")
 
 
