@@ -2553,7 +2553,10 @@ _GATE_ORDER: list[str] = [
     "ann_ivf_topk",
     "ann_bruteforce_topk",
     "text_token_stats",
-    "text_lang_id",
+    # the frozen-model lang-ID entry (oracle embeds the model weights) is
+    # the stronger C13 evidence; the stopword variant text_lang_id stays
+    # oracle-backed just past the window
+    "text_lang_id_model",
     "text_quality",
     "text_fingerprint",
 ]
