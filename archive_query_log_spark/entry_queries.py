@@ -2185,6 +2185,54 @@ def serp_combined_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_serp(df).select("capture_id", "warc_query", "wq_rule")
 
 
+# four robots.txt bodies exercising the documented parse semantics; the
+# oracle's expected rules are HAND-DERIVED (independent of the parser):
+# b0 group delay rides every rule + host-wide row; b1 agent-group pick +
+# wildcard truncation (Disallow /y$z → /y) + un-expressible Allow dropped;
+# b2 empty Disallow → NO rows for the host; b3 pre-group Crawl-delay line
+# ignored, in-group one kept.
+_ROBOTS_BANK = [
+    "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nCrawl-delay: 3",
+    "User-agent: aql\nDisallow: /x*\nUser-agent: *\nDisallow: /y$z\nAllow: /a*/b",
+    "User-agent: *\nDisallow:",
+    "Crawl-delay: 9\nUser-agent: *\nAllow: /ok\nCrawl-delay: 4",
+]
+
+_ROBOTS_EXPECT_SQL = """
+(0, '/private/', FALSE, 3.0), (0, '/private/ok', TRUE, 3.0),
+(0, NULL, TRUE, 3.0),
+(1, '/y', FALSE, NULL),
+(3, '/ok', TRUE, 4.0), (3, NULL, TRUE, 4.0)
+"""
+
+
+@_q(
+    "robots_parse",
+    f"""
+SELECT n.n_name AS host, e.path_prefix, e.allow, e.crawl_delay_s
+FROM nation n JOIN (VALUES {_ROBOTS_EXPECT_SQL})
+  AS e(i, path_prefix, allow, crawl_delay_s)
+ON CAST(n.n_nationkey % 4 AS INT) = e.i
+""",
+)
+def robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt TEXT → politeness rules table (functions/robots.py —
+    north_rule's 'robots.txt rules + crawl-delay budget' as a first-class
+    parsed input; the reference only has the flat 10 s limiter,
+    config.py:157-167). Bodies from a fixed bank keyed by nationkey; the
+    oracle is the hand-derived expected rule set per body."""
+    from archive_query_log_spark.functions.robots import robots_table_from_txt
+
+    bank = F.array(*[F.lit(b) for b in _ROBOTS_BANK])
+    hosts = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("host"),
+        F.element_at(
+            bank, (F.pmod("n_nationkey", F.lit(len(_ROBOTS_BANK))) + 1).cast("int")
+        ).alias("robots_txt"),
+    )
+    return robots_table_from_txt(hosts)
+
+
 def _wsrb_rules_oracle_sql() -> str:
     s = _sql_str
     rows = []
