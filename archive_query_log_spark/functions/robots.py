@@ -40,6 +40,8 @@ apply_robots as before.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -48,14 +50,22 @@ __all__ = ["parse_robots_txt", "robots_rules_udf", "robots_table_from_txt"]
 
 
 def _clean_pattern(path: str, allow: bool) -> str | None:
-    """Reduce a robots path pattern to a pure prefix (see module doc)."""
+    """Reduce a robots path pattern to a pure prefix (see module doc).
+    '?' is treated like the wildcards: apply_robots matches the URL PATH
+    only (no query), so a query-bearing pattern is un-expressible — a
+    Disallow truncates (blocks a superset), an Allow drops (allows less).
+    A Disallow that reduces to EMPTY ('*', '$', '*foo') means
+    block-everything → prefix '/' (dropping it would flip it to
+    allow-everything)."""
     if path.endswith("*"):
         path = path.rstrip("*")
-    for special in ("*", "$"):
+    for special in ("*", "$", "?"):
         if special in path:
             if allow:
                 return None  # conservative: drop un-expressible Allow
             path = path.split(special, 1)[0]  # conservative: block superset
+    if path == "":
+        return None if allow else "/"
     return path
 
 
@@ -92,21 +102,29 @@ def parse_robots_txt(
             if not in_agent_run:
                 flush()
                 in_agent_run = True
-            cur_agents.append(value.lower())
+            if value:  # a malformed empty token would prefix-match EVERY
+                cur_agents.append(value.lower())  # agent and hijack groups
             continue
-        in_agent_run = False
         if key in ("allow", "disallow"):
+            in_agent_run = False  # only RULE lines end a user-agent run —
+            # unknown keys (Sitemap, Host, ...) must not split a group
+            # (RFC 9309 §2.2: unrecognized lines are ignored entirely)
             allow = key == "allow"
             if value == "" and not allow:
                 continue  # empty Disallow = allow everything, no rule
             prefix = _clean_pattern(value, allow)
-            if prefix is not None and prefix != "":
+            if prefix is not None:
                 cur_rules.append((prefix, allow))
         elif key == "crawl-delay":
+            in_agent_run = False
             try:
-                cur_delay = float(value)
+                delay_v = float(value)
             except ValueError:
-                pass
+                continue
+            # guard nan/inf/negative — NaN would poison the politeness
+            # tie-breaks and dispatch arithmetic downstream
+            if math.isfinite(delay_v) and delay_v >= 0:
+                cur_delay = delay_v
     flush()
 
     # pass 2: pick the longest agent token that prefixes user_agent; merge

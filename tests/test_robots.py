@@ -153,3 +153,35 @@ def test_end_to_end_apply_robots(spark):
     assert got[("h1", "https://h1/ok")] == 5.0
     assert got[("h2", "https://h2/anything")] == 10.0  # no delay declared
     assert got[("h3", "https://h3/x")] == 10.0  # no robots at all
+
+
+def test_review_edge_cases_pinned():
+    """Edge cases from the round-4 review, each previously a real bug."""
+    # Disallow reducing to empty = block-EVERYTHING, not allow-everything
+    assert parse_robots_txt("User-agent: *\nDisallow: *", "*") == [
+        ("/", False, None)
+    ]
+    assert parse_robots_txt("User-agent: *\nDisallow: $", "*") == [
+        ("/", False, None)
+    ]
+    # query-bearing Disallow truncates at '?' (apply_robots matches PATH
+    # only); query-bearing Allow drops
+    assert parse_robots_txt(
+        "User-agent: *\nDisallow: /search?q=\nAllow: /a?b", "*"
+    ) == [("/search", False, None)]
+    # unknown keys (Sitemap, ...) do NOT split a consecutive user-agent run
+    assert parse_robots_txt(
+        "User-agent: aql\nSitemap: http://x\nUser-agent: googlebot\nDisallow: /",
+        "aql",
+    ) == [("/", False, None)]
+    # nan/inf/negative Crawl-delay rejected (NaN poisons dispatch math)
+    assert parse_robots_txt(
+        "User-agent: *\nDisallow: /x\nCrawl-delay: nan", "*"
+    ) == [("/x", False, None)]
+    assert parse_robots_txt(
+        "User-agent: *\nCrawl-delay: -5\nDisallow: /x", "*"
+    ) == [("/x", False, None)]
+    # malformed empty User-agent token cannot hijack group selection
+    assert parse_robots_txt(
+        "User-agent:\nAllow: /\nUser-agent: *\nDisallow: /", "mybot"
+    ) == [("/", False, None)]
