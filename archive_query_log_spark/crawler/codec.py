@@ -144,6 +144,43 @@ def validate_row(
         return 422, 0.0, False, False, False
 
 
+# --- packed video container (frame-sample input) ----------------------------
+
+VIDEO_MAGIC = b"SGVD"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Pack encoded frames length-prefixed — the video analog of the image
+    binary column. A real container (mp4/webm) would replace this layout;
+    the seek contract (`iter_video_frames` skips without decoding) is the
+    real part."""
+    import struct as _struct
+
+    out = [VIDEO_MAGIC, _struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(_struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def iter_video_frames(buf: bytes, step: int = 1):
+    """Yield (index, frame_bytes) for every ``step``-th frame, SEEKING over
+    the others — skipped frames are never sliced out or decoded (the
+    container-level sampling a real demuxer gives you)."""
+    import struct as _struct
+
+    if buf[:4] != VIDEO_MAGIC:
+        raise ValueError("bad video magic")
+    (n,) = _struct.unpack("<I", buf[4:8])
+    pos = 8
+    for i in range(n):
+        (ln,) = _struct.unpack("<I", buf[pos : pos + 4])
+        pos += 4
+        if i % step == 0:
+            yield i, buf[pos : pos + ln]
+        pos += ln
+
+
 # --- composite SERP payload (result-block container) ------------------------
 
 SERP_MAGIC = b"SGSP"

@@ -2044,6 +2044,40 @@ def img_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES["img_decode_validate"] = img_decode_validate
 
 
+def img_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end (rows-only): synth images → resize
+    (mapInPandas, exact nearest-neighbor) → feature extraction (20-dim
+    array<float> embedding) → brute-force cosine top-k against the first
+    image's features — image similarity riding the SAME ANN stack as text
+    embeddings (operators/multimodal.py + similarity.py). Only the byte
+    codec is the documented stand-in; resize/feature math is real."""
+    from archive_query_log_spark.crawler import synth
+    from archive_query_log_spark.operators.multimodal import (
+        image_features,
+        resize_images,
+    )
+    from archive_query_log_spark.operators.similarity import brute_force_topk
+
+    images = synth.synth_images(spark, 200, 8).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    resized = resize_images(images, 16, 16)
+    emb = resized.where(F.col("bytes").isNotNull()).select(
+        "image_id", image_features("bytes").alias("embedding")
+    )
+    qv = [
+        float(x)
+        for x in emb.where(F.col("image_id") == "img00000000")
+        .collect()[0]["embedding"]
+    ]
+    return brute_force_topk(
+        emb, qv, k=10, id_col="image_id", vec_col="embedding"
+    )
+
+
+_QUERIES["img_multimodal_pipeline"] = img_multimodal_pipeline
+
+
 def crawl_pipeline_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full crawl round (seen-set + politeness + fetch + validate) on a
     synthetic frontier; returns per-bucket lineage metrics."""

@@ -1,0 +1,154 @@
+"""Multimodal column operators: resize, feature-extract, frame-sample
+(build-brief first-class components alongside SURVEY §2).
+
+Images/videos are opaque ``binary`` columns with typed metadata
+(image_id, bytes, w, h, fmt — the BASELINE.json input_hint schema). Only
+the byte-level codec is the documented deterministic stand-in
+(crawler/codec.py — no image wheel ships in this container); everything in
+THIS module is real math over real pixel arrays and real Spark plumbing:
+
+- ``resize_images``: mapInPandas decode → integer nearest-neighbor index
+  mapping (exact, no float resampling ambiguity) → re-encode in the same
+  format. Map-only; schema preserved, w/h updated.
+- ``image_features``: pandas UDF bytes → 20-dim float vector (mean, std,
+  row/col gradient energy, 16-bin normalized histogram). The output is an
+  ``array<float>`` embedding column — it composes directly with the ANN
+  operators (brute_force_topk / with_lsh_signature / ivf_topk), which is
+  the point: image similarity rides the SAME similarity stack as text
+  embeddings.
+- ``sample_frames``: every-k-th frame from a packed video container
+  (codec.encode_video: length-prefixed frames). Sampling SEEKS the
+  container — skipped frames are never decoded or copied out — and
+  explodes to (video_id, frame_idx, frame_bytes) rows, UDTF-shaped via
+  mapInPandas so one input row yields many output rows without a
+  collect or shuffle.
+
+All three are map-only (no exchange); partition parallelism is inherited
+from the input. Arrow batch shapes carry binary columns; nothing is
+row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.crawler import codec
+
+__all__ = ["resize_images", "image_features", "sample_frames"]
+
+
+def _resize_nn(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Integer nearest-neighbor resize: out[i,j] = in[(i*h)//out_h,
+    (j*w)//out_w] — exact, deterministic, no float rounding modes."""
+    h, w = pixels.shape
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return pixels[rows[:, None], cols[None, :]]
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Re-encode every image at (out_w, out_h); w/h columns updated, other
+    columns pass through. Corrupt payloads yield NULL bytes (and NULL
+    w/h), never a task failure."""
+    schema = df.schema
+    out_fields = [f.name for f in schema.fields]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            new_bytes, new_w, new_h = [], [], []
+            for buf, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+                try:
+                    _, _, _, pixels = codec.decode(bytes(buf))
+                    resized = _resize_nn(pixels, out_w, out_h)
+                    new_bytes.append(codec.encode(resized, fmt))
+                    new_w.append(out_w)
+                    new_h.append(out_h)
+                except Exception:
+                    new_bytes.append(None)
+                    new_w.append(None)
+                    new_h.append(None)
+            out = pdf.copy()
+            out[bytes_col] = new_bytes
+            if "w" in out.columns:
+                out["w"] = pd.array(new_w, dtype="Int32")
+            if "h" in out.columns:
+                out["h"] = pd.array(new_h, dtype="Int32")
+            yield out[out_fields]
+
+    return df.mapInPandas(_batches, schema)
+
+
+N_FEATURES = 20  # mean, std, row-grad, col-grad + 16-bin histogram
+
+
+def image_features(img_bytes: Column | str) -> Column:
+    """bytes → array<float> feature vector (length N_FEATURES); NULL on
+    corrupt payloads. Real numpy math over decoded pixels."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _feat(bufs: pd.Series) -> pd.Series:
+        out = []
+        for buf in bufs:
+            try:
+                _, _, _, px = codec.decode(bytes(buf))
+                x = px.astype(np.float64)
+                grad_r = np.abs(np.diff(x, axis=0)).mean() if x.shape[0] > 1 else 0.0
+                grad_c = np.abs(np.diff(x, axis=1)).mean() if x.shape[1] > 1 else 0.0
+                hist = np.bincount(px.ravel() >> 4, minlength=16).astype(np.float64)
+                hist /= max(1.0, hist.sum())
+                out.append(
+                    np.concatenate(
+                        ([x.mean(), x.std(), grad_r, grad_c], hist)
+                    ).astype(np.float32).tolist()
+                )
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _feat(F.col(img_bytes) if isinstance(img_bytes, str) else img_bytes)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_k: int,
+    video_id_col: str = "video_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Every k-th frame of each packed video → (video_id, frame_idx,
+    frame_bytes) rows. Container-level seek: skipped frames are sliced
+    over, not decoded. UDTF shape (1 row → many) via mapInPandas."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vids, idxs, frames = [], [], []
+            for vid, buf in zip(pdf[video_id_col], pdf[bytes_col]):
+                try:
+                    for i, frame in codec.iter_video_frames(
+                        bytes(buf), step=every_k
+                    ):
+                        vids.append(vid)
+                        idxs.append(i)
+                        frames.append(frame)
+                except Exception:
+                    continue  # corrupt container: contributes no rows
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    return df.mapInPandas(
+        _batches, "video_id string, frame_idx int, frame_bytes binary"
+    )

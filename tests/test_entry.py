@@ -6,7 +6,12 @@ sys.path.insert(0, ".")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
-SQL_FREE = {"img_decode_validate", "crawl_pipeline_round", "a2_approx_distinct"}
+SQL_FREE = {
+    "img_decode_validate",
+    "img_multimodal_pipeline",
+    "crawl_pipeline_round",
+    "a2_approx_distinct",
+}
 
 
 def test_entry_returns_rows(spark):

@@ -1,0 +1,133 @@
+"""Multimodal operators (operators/multimodal.py): resize, feature
+extraction, frame sampling — real math + real Spark plumbing over the
+deterministic codec (only the byte codec is the documented stand-in)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from archive_query_log_spark.crawler import codec
+from archive_query_log_spark.operators.multimodal import (
+    N_FEATURES,
+    _resize_nn,
+    image_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def test_resize_nn_math():
+    # 4x4 gradient → 2x2 picks rows/cols 0 and 2 ((i*4)//2)
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    got = _resize_nn(px, 2, 2)
+    assert got.tolist() == [[0, 2], [8, 10]]
+    # upscale 2x2 → 4x4 repeats each pixel 2x2
+    small = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = _resize_nn(small, 4, 4)
+    assert up.tolist() == [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]]
+
+
+def test_resize_images_spark(spark):
+    rows = []
+    for i in range(20):
+        pid = f"img{i}"
+        px = codec.synth_pixels(pid, 32, 16)
+        fmt = "png" if i % 2 == 0 else "jpeg"
+        rows.append((pid, bytearray(codec.encode(px, fmt)), 32, 16, fmt))
+    rows.append(("bad", bytearray(b"garbage"), 32, 16, "png"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    ).repartition(4)
+    out = resize_images(df, 8, 8)
+    got = {r["image_id"]: r for r in out.collect()}
+    assert len(got) == 21
+    assert got["bad"]["bytes"] is None and got["bad"]["w"] is None
+    r0 = got["img0"]
+    assert (r0["w"], r0["h"]) == (8, 8)
+    fmt, w, h, px = codec.decode(bytes(r0["bytes"]))
+    assert (fmt, w, h) == ("png", 8, 8)
+    # png roundtrip is lossless: resized pixels equal the numpy reference
+    assert np.array_equal(px, _resize_nn(codec.synth_pixels("img0", 32, 16), 8, 8))
+    # plan is map-only (checkpoint first: the test's own repartition(4)
+    # would otherwise show as the only Exchange)
+    plan_df = resize_images(df.localCheckpoint(), 8, 8)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_image_features_compose_with_ann(spark):
+    """Features are a real embedding column: nearest neighbor by cosine
+    over image features finds the resized copy of the query image before
+    unrelated images (the multimodal similarity path end-to-end)."""
+    from archive_query_log_spark.operators.similarity import brute_force_topk
+
+    # STRUCTURED query image (period-4 checkerboard): nearest-neighbor
+    # downsampling preserves its mean/std/histogram exactly (same value
+    # set, same proportions), so the resized copy stays feature-near.
+    # Noise images would NOT work here — features of white noise are
+    # statistically identical across images.
+    rr, cc = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    base = (100 + 50 * (((rr // 4) + (cc // 4)) % 2)).astype(np.uint8)
+    rows = [
+        ("query", bytearray(codec.encode(base, "png"))),
+        ("query_small", bytearray(codec.encode(_resize_nn(base, 16, 16), "png"))),
+    ]
+    for i in range(12):  # constant images: distinct means, zero std
+        const = np.full((32, 32), 20 * (i + 1), dtype=np.uint8)
+        rows.append((f"other{i}", bytearray(codec.encode(const, "png"))))
+    for i in range(12, 24):  # noise images: right mean, wrong std/hist
+        rows.append(
+            (f"other{i}",
+             bytearray(codec.encode(codec.synth_pixels(f"o{i}", 32, 32), "png")))
+        )
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    emb = df.select(
+        "image_id", image_features("bytes").alias("embedding")
+    ).cache()
+    feats = {r["image_id"]: r["embedding"] for r in emb.collect()}
+    assert all(len(v) == N_FEATURES for v in feats.values())
+    # deterministic across runs
+    feats2 = {r["image_id"]: r["embedding"] for r in emb.collect()}
+    assert feats == feats2
+    qv = [float(x) for x in feats["query"]]
+    top = brute_force_topk(
+        emb.where(F.col("image_id") != "query"), qv, k=3,
+        id_col="image_id", vec_col="embedding",
+    ).collect()
+    assert top[0]["image_id"] == "query_small"
+
+
+def test_video_container_seek_and_sampling(spark):
+    frames = [
+        codec.encode(codec.synth_pixels(f"f{i}", 8, 8), "png") for i in range(10)
+    ]
+    video = codec.encode_video(frames)
+    # container-level seek: step 3 yields exactly frames 0,3,6,9 bit-exact
+    got = list(codec.iter_video_frames(video, step=3))
+    assert [i for i, _ in got] == [0, 3, 6, 9]
+    assert all(f == frames[i] for i, f in got)
+
+    df = spark.createDataFrame(
+        [("v1", bytearray(video)), ("v2", bytearray(codec.encode_video(frames[:4]))),
+         ("bad", bytearray(b"junk"))],
+        "video_id string, bytes binary",
+    )
+    out = sample_frames(df, every_k=3)
+    rows = out.collect()
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r["video_id"], []).append(r["frame_idx"])
+    assert sorted(per_vid["v1"]) == [0, 3, 6, 9]
+    assert sorted(per_vid["v2"]) == [0, 3]
+    assert "bad" not in per_vid
+    # sampled frame bytes decode to the original pixels
+    f3 = next(
+        bytes(r["frame_bytes"]) for r in rows
+        if r["video_id"] == "v1" and r["frame_idx"] == 3
+    )
+    assert np.array_equal(codec.decode(f3)[3], codec.synth_pixels("f3", 8, 8))
+
+    with pytest.raises(ValueError):
+        sample_frames(df, every_k=0)
