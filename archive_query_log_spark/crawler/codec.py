@@ -154,11 +154,9 @@ def encode_video(frames: list[bytes]) -> bytes:
     binary column. A real container (mp4/webm) would replace this layout;
     the seek contract (`iter_video_frames` skips without decoding) is the
     real part."""
-    import struct as _struct
-
-    out = [VIDEO_MAGIC, _struct.pack("<I", len(frames))]
+    out = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
     for f in frames:
-        out.append(_struct.pack("<I", len(f)))
+        out.append(struct.pack("<I", len(f)))
         out.append(f)
     return b"".join(out)
 
@@ -166,16 +164,20 @@ def encode_video(frames: list[bytes]) -> bytes:
 def iter_video_frames(buf: bytes, step: int = 1):
     """Yield (index, frame_bytes) for every ``step``-th frame, SEEKING over
     the others — skipped frames are never sliced out or decoded (the
-    container-level sampling a real demuxer gives you)."""
-    import struct as _struct
-
+    container-level sampling a real demuxer gives you). A container
+    truncated mid-prefix or mid-payload raises ValueError rather than
+    silently yielding short frame bytes."""
     if buf[:4] != VIDEO_MAGIC:
         raise ValueError("bad video magic")
-    (n,) = _struct.unpack("<I", buf[4:8])
+    (n,) = struct.unpack("<I", buf[4:8])
     pos = 8
     for i in range(n):
-        (ln,) = _struct.unpack("<I", buf[pos : pos + 4])
+        if pos + 4 > len(buf):
+            raise ValueError(f"truncated video container at frame {i} prefix")
+        (ln,) = struct.unpack("<I", buf[pos : pos + 4])
         pos += 4
+        if pos + ln > len(buf):
+            raise ValueError(f"truncated video container in frame {i} payload")
         if i % step == 0:
             yield i, buf[pos : pos + ln]
         pos += ln

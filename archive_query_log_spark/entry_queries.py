@@ -2062,9 +2062,11 @@ def img_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "bytes", "w", "h", "fmt"
     )
     resized = resize_images(images, 16, 16)
+    # cached: the driver-side qv collect below would otherwise re-run the
+    # whole synth→resize→features lineage a second time for the top-k
     emb = resized.where(F.col("bytes").isNotNull()).select(
         "image_id", image_features("bytes").alias("embedding")
-    )
+    ).cache()
     qv = [
         float(x)
         for x in emb.where(F.col("image_id") == "img00000000")

@@ -57,12 +57,24 @@ def resize_images(
     out_h: int,
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
+    w_col: str = "w",
+    h_col: str = "h",
 ) -> DataFrame:
-    """Re-encode every image at (out_w, out_h); w/h columns updated, other
-    columns pass through. Corrupt payloads yield NULL bytes (and NULL
-    w/h), never a task failure."""
+    """Re-encode every image at (out_w, out_h); the ``w_col``/``h_col``
+    dimension columns update when present (they MUST be named — stale
+    metadata disagreeing with the payload is an assertion error, not a
+    silent pass-through), other columns pass through. Corrupt payloads
+    yield NULL bytes (and NULL w/h), never a task failure."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {out_w}x{out_h}")
     schema = df.schema
     out_fields = [f.name for f in schema.fields]
+    for c in (w_col, h_col):
+        if c is not None and c not in out_fields:
+            raise ValueError(
+                f"dimension column {c!r} not in schema {out_fields} — pass "
+                "w_col/h_col (or None to skip) so metadata cannot go stale"
+            )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -80,10 +92,10 @@ def resize_images(
                     new_h.append(None)
             out = pdf.copy()
             out[bytes_col] = new_bytes
-            if "w" in out.columns:
-                out["w"] = pd.array(new_w, dtype="Int32")
-            if "h" in out.columns:
-                out["h"] = pd.array(new_h, dtype="Int32")
+            if w_col is not None:
+                out[w_col] = pd.array(new_w, dtype="Int32")
+            if h_col is not None:
+                out[h_col] = pd.array(new_h, dtype="Int32")
             yield out[out_fields]
 
     return df.mapInPandas(_batches, schema)
@@ -136,15 +148,20 @@ def sample_frames(
         for pdf in it:
             vids, idxs, frames = [], [], []
             for vid, buf in zip(pdf[video_id_col], pdf[bytes_col]):
+                # buffer per-video and commit only on COMPLETE iteration:
+                # iter_video_frames is a generator, so a container truncated
+                # mid-way yields some frames before raising — those partial
+                # rows must not leak into the output
                 try:
-                    for i, frame in codec.iter_video_frames(
-                        bytes(buf), step=every_k
-                    ):
-                        vids.append(vid)
-                        idxs.append(i)
-                        frames.append(frame)
+                    sampled = list(
+                        codec.iter_video_frames(bytes(buf), step=every_k)
+                    )
                 except Exception:
                     continue  # corrupt container: contributes no rows
+                for i, frame in sampled:
+                    vids.append(vid)
+                    idxs.append(i)
+                    frames.append(frame)
             yield pd.DataFrame(
                 {"video_id": vids, "frame_idx": idxs, "frame_bytes": frames}
             )

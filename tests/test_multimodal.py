@@ -131,3 +131,43 @@ def test_video_container_seek_and_sampling(spark):
 
     with pytest.raises(ValueError):
         sample_frames(df, every_k=0)
+
+
+def test_truncated_video_containers_yield_no_rows(spark):
+    """Review-pinned: a container truncated mid-prefix or mid-payload must
+    raise in iter_video_frames (no silently-short frame bytes) and must
+    contribute ZERO rows through sample_frames (no partial-row leak from
+    the generator)."""
+    frames = [
+        codec.encode(codec.synth_pixels(f"t{i}", 8, 8), "png") for i in range(6)
+    ]
+    video = codec.encode_video(frames)
+    cut_prefix = video[: len(video) - len(frames[-1]) - 2]  # inside prefix
+    cut_payload = video[:-5]  # inside last frame's payload
+    for cut in (cut_prefix, cut_payload):
+        with pytest.raises(ValueError):
+            list(codec.iter_video_frames(cut, step=1))
+    df = spark.createDataFrame(
+        [("good", bytearray(video)), ("cut1", bytearray(cut_prefix)),
+         ("cut2", bytearray(cut_payload))],
+        "video_id string, bytes binary",
+    )
+    rows = sample_frames(df, every_k=1).collect()
+    assert {r["video_id"] for r in rows} == {"good"}
+    assert len(rows) == 6
+
+
+def test_resize_rejects_degenerate_dims_and_stale_metadata(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(b"x"), 1, 1, "png")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    with pytest.raises(ValueError):
+        resize_images(df, 0, 8)
+    # a schema whose dim columns are named differently must be declared,
+    # not silently left stale
+    df2 = df.withColumnRenamed("w", "width")
+    with pytest.raises(ValueError):
+        resize_images(df2, 8, 8)
+    out = resize_images(df2, 8, 8, w_col="width", h_col="h")
+    assert "width" in out.columns
