@@ -185,3 +185,53 @@ def test_review_edge_cases_pinned():
     assert parse_robots_txt(
         "User-agent:\nAllow: /\nUser-agent: *\nDisallow: /", "mybot"
     ) == [("/", False, None)]
+
+
+def test_text_robots_schedule_equals_structured_schedule(spark):
+    """Integration: a schedule computed from TEXT-parsed robots must be
+    byte-identical to one computed from the equivalent structured rules
+    table — the parser slots into the existing politeness pipeline without
+    changing a single (host, wave, url_key, dispatch_ts)."""
+    from pyspark.sql import functions as F
+
+    from archive_query_log_spark.operators import politeness
+
+    structured = spark.createDataFrame(
+        [
+            ("h1", None, True, 4.0),
+            ("h1", "/no/", False, 4.0),
+            ("h2", None, True, 1.0),
+            ("h2", "/ok/", True, 1.0),
+        ],
+        "host string, path_prefix string, allow boolean, crawl_delay_s double",
+    )
+    texts = spark.createDataFrame(
+        [
+            ("h1", "User-agent: *\nDisallow: /no/\nCrawl-delay: 4"),
+            ("h2", "User-agent: *\nAllow: /ok/\nCrawl-delay: 1"),
+        ],
+        "host string, robots_txt string",
+    )
+    parsed = robots_table_from_txt(texts)
+
+    frontier = spark.createDataFrame(
+        [
+            (f"h{1 + i % 2}", f"https://h{1 + i % 2}/{'no' if i % 5 == 0 else 'p'}/{i}",
+             f"k{i:03d}", float(i % 7))
+            for i in range(60)
+        ],
+        "host string, url string, url_key string, score double",
+    )
+
+    def sched(robots):
+        allowed = politeness.apply_robots(frontier, robots)
+        return politeness.schedule(
+            allowed.withColumn(
+                "t0", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            ),
+            budget_waves=16,
+        ).select("host", "url_key", "wave", "dispatch_ts")
+
+    a = sorted(map(tuple, sched(structured).collect()))
+    b = sorted(map(tuple, sched(parsed).collect()))
+    assert a == b and len(a) > 0
