@@ -246,3 +246,53 @@ def test_encoding_waterfall_reference_decision_table():
     # faithful quirk: the reference does NOT strip whitespace around the
     # mime, so "text/html " (space before ';') finds no parser
     assert gate("<html>", "text/html ; charset=utf-8") == (None, "no-parser")
+
+
+def test_charset_sniffer_language_roundtrips():
+    """The opt-in statistical sniffer (the branch the fixed ladder cannot
+    reach without the reference's compiled sniffer wheel): undeclared,
+    BOM-less, non-utf-8 payloads in 8 legacy charsets across 8 scripts
+    must be identified and decoded losslessly — raw and HTML-wrapped."""
+    from archive_query_log_spark.functions import encoding as E
+
+    texts = {
+        "cp1251": "быстрая коричневая лиса прыгает через ленивую собаку у реки",
+        "cp1252": "die katze schläft auf dem warmen sofa — größe übung für heute",
+        "cp874": "สวัสดีครับ วันนี้อากาศดีมาก เราไปเดินเล่นกันเถอะ",
+        "shift_jis": "こんにちは。今日は天気がいいですね。日本語のテキストです。",
+        "euc_jp": "こんにちは。今日は天気がいいですね。散歩に行きます。",
+        "euc_kr": "안녕하세요 오늘 날씨가 좋네요 우리 공원에 산책하러 갑시다",
+        "gb18030": "今天天气很好，我们一起去公园散步吧。这是一段中文文本。",
+        "big5": "今天天氣很好，我們一起去公園散步吧。這是一段中文文本。",
+    }
+    for enc, text in texts.items():
+        for payload in (
+            text,
+            f"<html><body><p>{text}</p><p>{text}</p></body></html>",
+        ):
+            buf = payload.encode(enc)
+            assert E.sniff_encoding(buf) == enc, (enc, payload[:30])
+            got = E.detect_decode(buf, None, sniff=True)
+            assert got == (enc, payload), enc
+
+
+def test_charset_sniffer_is_strictly_opt_in():
+    """sniff=False (the default) must behave exactly as the fixed ladder —
+    every golden and oracle is derived from that path."""
+    from archive_query_log_spark.functions import encoding as E
+
+    ru = "текст на русском".encode("cp1251")
+    # default: cp1252 mojibake terminal (utf-8 fails, cp1252 decodes)
+    assert E.detect_decode(ru) == ("cp1252", ru.decode("cp1252"))
+    # opt-in: the sniffer rung fires first
+    assert E.detect_decode(ru, sniff=True) == ("cp1251", ru.decode("cp1251"))
+    # declared charsets ALWAYS outrank the sniffer, opt-in or not
+    assert E.detect_decode(ru, "text/html; charset=cp1252", sniff=True) == (
+        "cp1252", ru.decode("cp1252")
+    )
+    # utf-8-clean payloads never reach the sniffer
+    assert E.detect_decode("plain ü".encode("utf-8"), sniff=True) == (
+        "utf-8", "plain ü"
+    )
+    # nothing sniffable → unchanged terminal behavior
+    assert E.detect_decode(b"\x81\x9d\x8f", None, sniff=True) is None

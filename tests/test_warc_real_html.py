@@ -261,3 +261,52 @@ def test_result_blocks_on_real_google_serps():
         "titled": 68,
         "urled": 72,
     }
+
+
+def test_charset_sniffer_on_real_corpus_characterization():
+    """The opt-in statistical sniffer over every real archived SERP: it
+    must change the decode of EXACTLY the 8 genuinely legacy-charset pages
+    (Baidu/JD gb18030, Naver euc_kr) and nothing else — in particular,
+    zero essentially-Latin pages may be claimed (36 German SERPs decode as
+    cp1252 mojibake-free under the default ladder and must stay cp1252;
+    early sniffer versions claimed them as cp1251)."""
+    from archive_query_log_spark.functions.encoding import detect_decode
+
+    if not REF_TESTS.exists():
+        pytest.skip("reference fixture tree not present")
+    changed = {}
+    for jsonl in sorted(REF_TESTS.glob("*.jsonl")):
+        warc = REF_TESTS / f"{jsonl.stem}.warc.gz"
+        if not warc.exists():
+            continue
+        for line in jsonl.read_text().splitlines():
+            rec = json.loads(line)
+            loc = rec["warc_location"]
+            with warc.open("rb") as f:
+                f.seek(loc["offset"])
+                buf = f.read(loc["length"])
+            data = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+            we = data.index(b"\r\n\r\n")
+            he = data.index(b"\r\n\r\n", we + 4)
+            headers = data[we + 4 : he].decode("latin-1")
+            body = data[he + 4 :]
+            if body[:2] == b"\x1f\x8b":
+                body = gzip.GzipFile(fileobj=io.BytesIO(body)).read()
+            ct = next(
+                (
+                    ln.split(":", 1)[1].strip()
+                    for ln in headers.split("\r\n")
+                    if ln.lower().startswith("content-type")
+                ),
+                None,
+            )
+            d0 = detect_decode(body, ct)
+            d1 = detect_decode(body, ct, sniff=True)
+            if (d0 and d0[0]) != (d1 and d1[0]):
+                key = (jsonl.stem, d0[0] if d0 else None, d1[0] if d1 else None)
+                changed[key] = changed.get(key, 0) + 1
+    assert changed == {
+        ("baidu", "cp1252", "gb18030"): 2,
+        ("jd", "cp1252", "gb18030"): 2,
+        ("naver", "cp1252", "euc_kr"): 4,
+    }
