@@ -2580,6 +2580,68 @@ def c18_encoding_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 8 scripts × 8 legacy charsets for the statistical-sniffer roundtrip entry
+# (sentences are authored here, SQL-literal safe — no single quotes)
+_SNIFF_BANK: list[tuple[str, str]] = [
+    ("cp1251", "быстрая коричневая лиса прыгает через ленивую собаку у реки"),
+    ("cp1252", "die katze schläft auf dem warmen sofa — größe übung für heute"),
+    ("cp874", "สวัสดีครับ วันนี้อากาศดีมาก เราไปเดินเล่นกันเถอะ"),
+    ("shift_jis", "こんにちは。今日は天気がいいですね。日本語のテキストです。"),
+    ("euc_jp", "こんにちは。今日は天気がいいですね。散歩に行きます。"),
+    ("euc_kr", "안녕하세요 오늘 날씨가 좋네요 우리 공원에 산책하러 갑시다"),
+    ("gb18030", "今天天气很好，我们一起去公园散步吧。这是一段中文文本。"),
+    ("big5", "今天天氣很好，我們一起去公園散步吧。這是一段中文文本。"),
+]
+
+
+@_q(
+    "c18_sniff_roundtrip",
+    f"""
+SELECT d.doc_id, b.enc AS encoding, b.s AS text
+FROM documents d JOIN (VALUES
+    {", ".join(f"({i}, '{e}', '{s}')" for i, (e, s) in enumerate(_SNIFF_BANK))})
+  AS b(i, enc, s)
+ON CAST(d.doc_id % {len(_SNIFF_BANK)} AS INT) = b.i
+WHERE d.doc_id < 400
+""",
+)
+def c18_sniff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistical charset sniffer under the driver contract: payloads
+    minted in 8 legacy charsets (8 scripts) with NO declared charset and no
+    BOM — the branch the fixed ladder terminally mis-decodes as cp1252 —
+    must be identified and decoded back to the exact source text by the
+    opt-in sniff rung (functions/encoding.py:sniff_encoding). The oracle
+    reconstructs (encoding, text) from the same bank: a wrong sniff fails
+    the value hash."""
+    from archive_query_log_spark.functions.encoding import decode_text_udf
+
+    bank = _SNIFF_BANK
+
+    @F.pandas_udf("binary")
+    def _mint(doc_id):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        out = []
+        for i in doc_id:
+            enc, s = bank[int(i) % len(bank)]
+            out.append(s.encode(enc))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    payloads = d.select("doc_id", _mint(F.col("doc_id")).alias("payload"))
+    decoded = payloads.select(
+        "doc_id",
+        decode_text_udf(sniff=True)(
+            F.col("payload"), F.lit(None).cast("string")
+        ).alias("_d"),
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("_d.encoding").alias("encoding"),
+        F.col("_d.text").alias("text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness gate exercises the FIRST 50
 # entries of ``queries()`` in iteration order, so the strongest oracle-backed
