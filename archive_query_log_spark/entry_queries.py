@@ -355,20 +355,25 @@ def j1_real_providers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c.c_custkey AS custkey,
        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
-                (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,6)) AS revenue,
+                (1 - CAST(l.l_discount AS DECIMAL(18,6)))) * 1000000
+            AS BIGINT) AS revenue_micros,
        count(*) AS n_items
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-GROUP BY c.c_custkey ORDER BY revenue DESC, custkey LIMIT 100
+GROUP BY c.c_custkey ORDER BY revenue_micros DESC, custkey LIMIT 100
 """,
 )
 def j2_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: multi-way equi-join by key (create_corpus.py:116-138 shape).
-    Revenue summed in DECIMAL → exact and order-independent across engines.
-    The result STAYS decimal(38,6): a final double cast diverged by 1 ulp
-    between Spark's and DuckDB's decimal→double conversion at sf0.1
-    magnitudes (caught by the round-4 large-sf sweep)."""
+    Revenue is summed in DECIMAL (exact, order-independent across engines)
+    and returned as BIGINT *micros*: the source prices/discounts carry two
+    fractional digits, so the product has scale 4 and revenue*1e6 is an
+    exact integer in both engines.  This kills BOTH prior failure modes at
+    once — the 1-ulp decimal→double divergence at sf0.1 magnitudes (round
+    4's motivation for DECIMAL output) and the DECIMAL-representation
+    driver-canonicalizer clash (round 4's driver red): BIGINT is in the
+    driver-safe type set pinned by tests/test_entry.py."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
@@ -381,10 +386,12 @@ def j2_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy(F.col("c_custkey").alias("custkey"))
         .agg(
-            rev.cast("decimal(38,6)").alias("revenue"),
+            (rev.cast("decimal(38,6)") * F.lit(1000000))
+            .cast("long")
+            .alias("revenue_micros"),
             F.count("*").alias("n_items"),
         )
-        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .orderBy(F.desc("revenue_micros"), F.asc("custkey"))
         .limit(100)
     )
 

@@ -53,26 +53,37 @@ def test_gate_window_covers_flagship_entries():
     assert flagship <= set(names[:50])
 
 
-def test_gate_window_has_no_collection_columns(spark):
+def test_gate_window_emits_only_driver_safe_types(spark):
     """The driver's oracle harness canonicalizes results via pandas
-    ``sort_values``, which cannot hash list/dict cells — a gated entry
-    returning a top-level Array/Map/Struct column crashes the harness even
-    when its answer is correct (this bit c10_unfurl in round 3 and a round-1
-    entry before it). Pin it: every _GATE_ORDER entry's schema must be flat.
-    Entries that conceptually produce collections serialize them
-    (``F.array_join`` / ``to_json``) with a matching serialization in the
-    DuckDB oracle."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    ``sort_values`` + value hashing, and only a small set of top-level
+    column types has proven to hash identically from both engines across
+    four rounds: string, int/bigint (and narrower ints), double, boolean,
+    timestamp, date.  Everything else has burned us at least once —
+    Array/Map/Struct crash the canonicalizer (c10_unfurl, round 3) and
+    DECIMAL hash-diverges because DuckDB's pandas bridge renders it as
+    float64 while Spark returns ``decimal.Decimal`` objects
+    (j2_multiway_join, round 4) — so pin the ALLOWLIST, not a denylist:
+    every _GATE_ORDER entry's schema must consist solely of the proven-safe
+    scalar types.  Entries that conceptually produce collections serialize
+    them (``F.array_join`` / ``to_json``), decimals are re-scaled to exact
+    BIGINT (e.g. micros), each with a matching cast in the DuckDB oracle."""
+    from pyspark.sql.types import (
+        BooleanType, ByteType, DateType, DoubleType, FloatType, IntegerType,
+        LongType, ShortType, StringType, TimestampNTZType, TimestampType,
+    )
 
     from archive_query_log_spark.entry_queries import _GATE_ORDER
 
+    safe = (StringType, LongType, IntegerType, ShortType, ByteType,
+            DoubleType, FloatType, BooleanType, TimestampType,
+            TimestampNTZType, DateType)
     qs = entry_mod.queries()
     sf = "/root/testdata/sf0.001"
     bad = []
     for name in _GATE_ORDER:
         schema = qs[name](spark, sf).schema
         for field in schema.fields:
-            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+            if not isinstance(field.dataType, safe):
                 bad.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
     assert not bad, bad
 

@@ -37,7 +37,13 @@ def normalize(v):
             return "nan"
         return repr(round(v, 9))
     if isinstance(v, Decimal):
-        return repr(round(float(v), 9))
+        # DRIVER-FAITHFUL: the external driver does NOT round Decimals
+        # through float, so a Decimal('4136837.705500') from Spark and a
+        # float64 4136837.7055 from DuckDB's pandas bridge hash differently
+        # (round-4 j2 red).  Keep the representation clash VISIBLE here so
+        # the local gate catches it before the driver does; gated entries
+        # must not emit DECIMAL at all (see tests/test_entry.py).
+        return str(v)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):
