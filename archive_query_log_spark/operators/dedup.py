@@ -18,6 +18,8 @@ bounded by document length; all aggregations are partial-agg friendly
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -375,17 +377,45 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-# Telemetry of the most recent connected_components call (rounds taken,
-# input edge count, whether the driver union-find cutover fired). Written
-# by every path so bench.py can surface convergence behavior — a CC round-
-# count regression otherwise looks identical to machine contention in the
-# wall-clock number. `edges` is the DEDUPED ONE-DIRECTIONAL edge count,
-# recorded only where a path computes it anyway (star: checksum pass;
-# local: collected list); the minlabel twin records None rather than pay a
-# count() job for telemetry.
-LAST_CC_TELEMETRY: dict = {
-    "method": None, "rounds": 0, "edges": 0, "cutover": False,
-}
+# Telemetry of the most recent connected_components call ON THIS THREAD
+# (rounds taken, input edge count, whether the driver union-find cutover
+# fired). Written by every path so bench.py can surface convergence
+# behavior — a CC round-count regression otherwise looks identical to
+# machine contention in the wall-clock number. `edges` is the DEDUPED
+# ONE-DIRECTIONAL edge count, recorded only where a path computes it
+# anyway (star: checksum pass; local: collected list); the minlabel twin
+# records None rather than pay a count() job for telemetry.
+#
+# Thread-LOCAL (not a module global): concurrent CC calls from parallel
+# entries in one session would otherwise overwrite each other and bench.py
+# could attribute stale telemetry to the wrong pipeline run.
+_CC_TELEMETRY = threading.local()
+
+
+def _cc_note(**kw) -> None:
+    # a note carrying `method` starts a fresh record (new CC call); notes
+    # without it (per-round progress) merge into the current one
+    if "method" in kw:
+        cur = {"method": None, "rounds": 0, "edges": 0, "cutover": False}
+    else:
+        cur = getattr(_CC_TELEMETRY, "last", None) or {
+            "method": None, "rounds": 0, "edges": 0, "cutover": False,
+        }
+    cur.update(kw)
+    _CC_TELEMETRY.last = cur
+
+
+def last_cc_telemetry() -> dict:
+    """Telemetry of this thread's most recent connected_components call:
+    {method, rounds, edges, cutover}. Per-thread so interleaved calls from
+    parallel entries can't cross-attribute."""
+    return dict(
+        getattr(
+            _CC_TELEMETRY,
+            "last",
+            {"method": None, "rounds": 0, "edges": 0, "cutover": False},
+        )
+    )
 
 
 def connected_components(
@@ -439,9 +469,7 @@ def connected_components(
         ).distinct()
         edges = fwd.limit(local_threshold + 1).collect()
         if len(edges) <= local_threshold:
-            LAST_CC_TELEMETRY.update(
-                method="local", rounds=0, edges=len(edges), cutover=True
-            )
+            _cc_note(method="local", rounds=0, edges=len(edges), cutover=True)
             return _cc_local(
                 pairs.sparkSession, edges, pairs.schema[id_a].dataType
             )
@@ -455,9 +483,7 @@ def connected_components(
     # edges=None: the minlabel twin does not pay a count() job just for
     # telemetry (star/local record the deduped one-directional edge count
     # as a byproduct of work they do anyway)
-    LAST_CC_TELEMETRY.update(
-        method="minlabel", rounds=0, edges=None, cutover=False
-    )
+    _cc_note(method="minlabel", rounds=0, edges=None, cutover=False)
     labels = edges.select("x").distinct().withColumn("lbl", F.col("x"))
     for _round in range(max_iter):
         nbr_min = (
@@ -482,7 +508,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
-        LAST_CC_TELEMETRY["rounds"] = _round + 1
+        _cc_note(rounds=_round + 1)
         if changed == 0:
             break
     else:
@@ -568,9 +594,7 @@ def _cc_star(
     )
     edges = fwd.distinct().localCheckpoint()
     sig = _edge_checksum(edges)
-    LAST_CC_TELEMETRY.update(
-        method="star", rounds=0, edges=sig[0], cutover=False
-    )
+    _cc_note(method="star", rounds=0, edges=sig[0], cutover=False)
     for _round in range(max_iter):
         prev_edges = edges
         # --- large-star ---
@@ -601,7 +625,7 @@ def _cc_star(
             .localCheckpoint()
         )
         new_sig = _edge_checksum(edges)
-        LAST_CC_TELEMETRY["rounds"] = _round + 1
+        _cc_note(rounds=_round + 1)
         if new_sig == sig:
             # Checksum-collision guard: the (count, sum, xor) signature could
             # in principle collide between two DIFFERENT edge sets, which

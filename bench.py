@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line as the FINAL stdout line:
   {"metric": ..., "value": <frontier URLs scheduled+fetched/sec at
    local[$SPARK_GRAFT_CPUS]>, "unit": "urls/sec", "queries": {name: sec},
-   "sf": <sf>, "crawl": {...}, "scaling": {...}}
+   "sf": <sf>, "crawl": {...}, "sections": {...}, "scaling": {...}}
+The full record (raw windows per query/section/leg, method notes, CC
+telemetry) goes to BENCH_LOCAL.json next to this file — round 4's lesson:
+the driver captures only the tail of stdout, and a detail-laden single line
+outgrew its window, leaving the round with "parsed": null.
 
 The headline job is the north-star path: score → within-batch dedup →
 robots join → salted politeness waves → fetch + per-fetch decode validation
@@ -12,7 +16,14 @@ robots join → salted politeness waves → fetch + per-fetch decode validation
 Scaling evidence (BASELINE.md: no multi-node cluster in-sandbox — two
 parallelism levels stand in for N vs 4N executors): the SAME job runs in
 FRESH subprocesses (cold JVM each, identical shuffle partitioning) at
-local[8] and local[32]; efficiency = T(32) / (4 · T(8)).
+local[2], local[8] and local[32], interleaved over 3 fixed windows;
+efficiency = T(8) / (4 · T(2)) (contention-free pair) and T(32) / (4 · T(8))
+(same-socket, DRAM-bound — reported, characterized in BENCH.md).
+
+Every measured number rides the same noise-robust estimator: repeated fixed
+windows (interleaved where multiple measurements share a session), median
+AND best both reported, raw windows preserved in BENCH_LOCAL.json. No
+adaptive stopping anywhere — optional stopping would bias the estimator.
 
 Also reported: the content-addressed fetch-cache path (decode each distinct
 payload once) — the engine's real design, ~2× the per-fetch number.
@@ -58,7 +69,23 @@ def _sf_of(path: str) -> float:
         return -1.0
 
 
-def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool) -> dict:
+def _windowed(run, repeats: int | None = None):
+    """Shared noise-robust estimator for every bench section: ``repeats``
+    fixed timed windows of ``run()`` (caller warms first), no adaptive
+    stop.  Returns (median_sec, best_sec, raw_windows, last_payload)."""
+    repeats = repeats or int(
+        os.environ.get("SPARK_GRAFT_BENCH_SECTION_REPEATS", "3")
+    )
+    dts, out = [], None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run()
+        dts.append(round(time.perf_counter() - t0, 3))
+    return round(statistics.median(dts), 3), min(dts), dts, out
+
+
+def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool,
+              n_runs: int = 2) -> dict:
     """The measured job. Runs in THIS process — call via subprocess for
     cold-JVM comparability."""
     from pyspark.sql import functions as F
@@ -108,27 +135,36 @@ def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool) -> d
         )
 
     # full-size warm-up run (JIT/codegen, python workers, broadcast), then
-    # best-of-2 steady-state runs — this sandbox VM shows ±30% run-to-run
+    # n_runs steady-state runs — this sandbox VM shows ±30% run-to-run
     # interference; the fastest run is the least-contended estimate of the
-    # engine's throughput
+    # engine's throughput (median also reported). The scaling legs call
+    # this with n_runs=1: their repetition lives in the OUTER interleaved
+    # windows, which also catch contention that a within-JVM repeat
+    # cannot (whole-window interference).
     job(10_000_000, per_fetch).count()
-    best = None
-    n = 0
-    for _ in range(2):
+    times, n = [], 0
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         n = job(10_000_000, per_fetch).count()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+        times.append(time.perf_counter() - t0)
     spark.stop()
-    return {"urls": n, "sec": round(best, 3), "urls_per_sec": round(n / best, 1)}
+    best = min(times)
+    return {
+        "urls": n,
+        "sec": round(best, 3),
+        "urls_per_sec": round(n / best, 1),
+        "urls_per_sec_median": round(n / statistics.median(times), 1),
+        "windows_sec": [round(t, 3) for t in times],
+    }
 
 
 def crawl_subprocess(master: str, n_frontier: int, n_images: int,
-                     per_fetch: bool) -> dict:
+                     per_fetch: bool, n_runs: int = 2) -> dict:
     """Cold-JVM run of crawl_job in a fresh process."""
     cmd = [
         sys.executable, os.path.abspath(__file__), "--crawl-job", master,
         str(n_frontier), str(n_images), "1" if per_fetch else "0",
+        str(n_runs),
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=1800,
@@ -178,8 +214,10 @@ def query_times(master: str) -> tuple[dict[str, float], dict]:
         "best": {name: min(v) for name, v in windows.items()},
         "windows": windows,
         # rounds/edges/cutover of the final dedup_pipeline_e2e CC run: a
-        # convergence regression shows up here, not just as wall-clock
-        "dedup_cc": dict(dedup.LAST_CC_TELEMETRY),
+        # convergence regression shows up here, not just as wall-clock.
+        # (thread-local accessor; this thread ran every query, so "last CC
+        # call on this thread" is exactly the final dedup_pipeline_e2e run)
+        "dedup_cc": dedup.last_cc_telemetry(),
     }
     return medians, detail
 
@@ -218,15 +256,16 @@ def ann_sig_bench(master: str, n_rows: int = 20_000, dim: int = 768) -> dict:
         emb, dim=dim, n_planes=8, method="matmul"
     )
     out.count()  # warm python workers
-    t0 = time.perf_counter()
-    n = out.count()
-    dt = time.perf_counter() - t0
+    med, best, windows, n = _windowed(out.count)
     spark.stop()
     return {
         "rows": n,
         "dim": dim,
-        "sec": round(dt, 3),
-        "rows_per_sec": round(n / dt, 1),
+        "sec": med,
+        "sec_best": round(best, 3),
+        "windows": windows,
+        "rows_per_sec": round(n / med, 1),
+        "rows_per_sec_best": round(n / best, 1),
         "path": "matmul-udf (expr path unusable at this width)",
     }
 
@@ -272,19 +311,17 @@ def cascade_bench(master: str, n_rows: int = 500_000) -> dict:
         return out.agg(F.count("q")).collect()[0][0]
 
     run()  # warm
-    best, n_parsed = None, 0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_parsed = run()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+    med, best, windows, n_parsed = _windowed(run)
     spark.stop()
     return {
         "rows": n_rows,
         "n_rules": 972,
         "parsed": n_parsed,
-        "sec": round(best, 3),
-        "rows_per_sec": round(n_rows / best, 1),
+        "sec": med,
+        "sec_best": round(best, 3),
+        "windows": windows,
+        "rows_per_sec": round(n_rows / med, 1),
+        "rows_per_sec_best": round(n_rows / best, 1),
         "plan": "apply_cascade_array (zero data-side exchanges)",
     }
 
@@ -333,19 +370,17 @@ def warc_xpath_bench(master: str, n_rows: int = 20_000) -> dict:
         )
 
     run()  # warm
-    best, n_parsed = None, 0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_parsed = run()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+    med, best, windows, n_parsed = _windowed(run)
     spark.stop()
     return {
         "rows": n_rows,
         "n_rules": 74,
         "parsed": n_parsed,
-        "sec": round(best, 3),
-        "rows_per_sec": round(n_rows / best, 1),
+        "sec": med,
+        "sec_best": round(best, 3),
+        "windows": windows,
+        "rows_per_sec": round(n_rows / med, 1),
+        "rows_per_sec_best": round(n_rows / best, 1),
         "plan": "Arrow UDF cascade (map-only, exchange-free)",
     }
 
@@ -401,22 +436,23 @@ def warc_xpath_real_bench(master: str) -> dict | None:
         )
         return row["nq"], row["nb"]
 
-    run()  # warm
-    best, nq, nb = None, 0, 0
-    for _ in range(2):
+    # interleaved fixed windows over BOTH paths (they share the session, so
+    # a contention window hits both legs of the speedup ratio equally)
+    run()
+    run_combined()  # warm both
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SECTION_REPEATS", "3"))
+    w_sep, w_comb = [], []
+    nq = nb = nq_c = nb_c = 0
+    for _ in range(repeats):
         t0 = time.perf_counter()
         nq, nb = run()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
-    run_combined()  # warm
-    best_c, nq_c, nb_c = None, 0, 0
-    for _ in range(2):
+        w_sep.append(round(time.perf_counter() - t0, 3))
         t0 = time.perf_counter()
         nq_c, nb_c = run_combined()
-        dt = time.perf_counter() - t0
-        best_c = dt if best_c is None or dt < best_c else best_c
+        w_comb.append(round(time.perf_counter() - t0, 3))
     spark.stop()
     assert (nq, nb) == (nq_c, nb_c), "combined pass diverged from separate"
+    med, med_c = statistics.median(w_sep), statistics.median(w_comb)
     n_docs = len(rows)
     return {
         "docs": n_docs,
@@ -424,19 +460,23 @@ def warc_xpath_real_bench(master: str) -> dict | None:
         "bytes": total_bytes,
         "queries_extracted": nq,
         "blocks_extracted": nb,
-        "sec": round(best, 3),
-        "docs_per_sec": round(n_docs / best, 1),
-        "mb_per_sec": round(total_bytes / best / 1e6, 2),
+        "sec": round(med, 3),
+        "sec_best": min(w_sep),
+        "windows": w_sep,
+        "docs_per_sec": round(n_docs / med, 1),
+        "mb_per_sec": round(total_bytes / med / 1e6, 2),
         "plan": (
             "query + block cascades, each one map-only Arrow UDF pass over"
             " the real corpus (2 DOM parses/doc)"
         ),
         # parse_serp: both cascades off ONE shared DOM parse per document
         "combined": {
-            "sec": round(best_c, 3),
-            "docs_per_sec": round(n_docs / best_c, 1),
-            "mb_per_sec": round(total_bytes / best_c / 1e6, 2),
-            "speedup_vs_separate": round(best / best_c, 2),
+            "sec": round(med_c, 3),
+            "sec_best": min(w_comb),
+            "windows": w_comb,
+            "docs_per_sec": round(n_docs / med_c, 1),
+            "mb_per_sec": round(total_bytes / med_c / 1e6, 2),
+            "speedup_vs_separate": round(med / med_c, 2),
         },
     }
 
@@ -444,7 +484,9 @@ def warc_xpath_real_bench(master: str) -> dict | None:
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-job":
         master, nf, ni, pf = sys.argv[2:6]
-        print(json.dumps(crawl_job(master, int(nf), int(ni), pf == "1")))
+        n_runs = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+        print(json.dumps(crawl_job(master, int(nf), int(ni), pf == "1",
+                                   n_runs=n_runs)))
         return
 
     sf = _sf_of(SF_DIR)
@@ -453,13 +495,81 @@ def main():
 
     queries, queries_detail = query_times(f"local[{CPUS}]")
 
-    main_run = crawl_subprocess(
-        f"local[{CPUS}]", n_frontier, n_images, per_fetch=True
-    )
+    scaling = None
+    if SCALING:
+        # scaling trio at the FULL headline size — at half size the 8- and
+        # 32-core legs starve on fixed stage latency (measured t32 < t8) and
+        # the efficiency figure stops measuring the engine.
+        # ALL THREE legs run in repeated INTERLEAVED cold-JVM windows
+        # (n_runs=1 inside each subprocess — the repetition lives in the
+        # outer windows, which also catch whole-window contention): this
+        # sandbox shows multi-minute external-contention windows that
+        # depress the multi-core legs 25-40% while leaving local[2] intact
+        # (verified by re-running the round-1 commit: identical t2, -26% t8)
+        # — one unlucky window would misreport the engine's scaling, and
+        # round 4's 2-window driver run left a sub-gate 0.692 undecidable.
+        # Fixed window count (no early stop): an adaptive break keyed above
+        # the pass gate is an optional-stopping rule that biases the
+        # estimator; both best-of and median-of windows are reported.
+        n_sc = n_frontier
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPEATS", "3"))
+        t2s, t8s, t32s = [], [], []
+        for _attempt in range(repeats):
+            t2s.append(crawl_subprocess("local[2]", n_sc, n_sc // 10, True, 1))
+            t8s.append(crawl_subprocess("local[8]", n_sc, n_sc // 10, True, 1))
+            t32s.append(
+                crawl_subprocess("local[32]", n_sc, n_sc // 10, True, 1)
+            )
+        best2, best8, best32 = (
+            max(r["urls_per_sec"] for r in leg) for leg in (t2s, t8s, t32s)
+        )
+        med2, med8, med32 = (
+            statistics.median(r["urls_per_sec"] for r in leg)
+            for leg in (t2s, t8s, t32s)
+        )
+        scaling = {
+            "n_frontier": n_sc,
+            "t2_urls_per_sec": best2,
+            "t8_urls_per_sec": best8,
+            "t32_urls_per_sec": best32,
+            # N vs 4N (contention-free pair — cores 2 and 8 of 32 don't
+            # saturate the socket's DRAM bandwidth; the multi-node proxy)
+            "efficiency_8_vs_4x2": round(best8 / (4.0 * best2), 3),
+            # median-of-windows companion figure: robust to a lucky best
+            # window the same way best-of is robust to an unlucky one
+            "efficiency_8_vs_4x2_median": round(med8 / (4.0 * med2), 3),
+            # same box 8→32: includes single-socket memory-bandwidth
+            # contention a real 4N-node cluster would not have
+            "efficiency_32_vs_4x8": round(best32 / (4.0 * best8), 3),
+            "efficiency_32_vs_4x8_median": round(med32 / (4.0 * med8), 3),
+            "method": (
+                "same job, fresh JVM subprocesses, identical partitioning;"
+                f" all 3 legs over {repeats} fixed interleaved windows"
+                " (no adaptive stop); best-of and median-of both reported"
+            ),
+            "t2_windows": [r["urls_per_sec"] for r in t2s],
+            "t8_windows": [r["urls_per_sec"] for r in t8s],
+            "t32_windows": [r["urls_per_sec"] for r in t32s],
+        }
+
+    # headline: best t32 window when the scaling trio ran at the headline
+    # CPU count (same job, same size), else a dedicated windowed run
+    if scaling is not None and CPUS == 32:
+        main_run = max(t32s, key=lambda r: r["urls_per_sec"])
+        main_run = dict(
+            main_run,
+            urls_per_sec_median=med32,
+            windows_urls_per_sec=scaling["t32_windows"],
+        )
+    else:
+        main_run = crawl_subprocess(
+            f"local[{CPUS}]", n_frontier, n_images, per_fetch=True, n_runs=3
+        )
     cached_run = crawl_job(
-        f"local[{CPUS}]", n_frontier, n_images, per_fetch=False
+        f"local[{CPUS}]", n_frontier, n_images, per_fetch=False, n_runs=3
     )
-    result = {
+
+    detail = {
         "metric": (
             "frontier URLs scheduled+fetched per sec "
             "(score→dedup→robots→politeness waves→fetch→decode-validate)"
@@ -479,62 +589,63 @@ def main():
         "cascade_972": cascade_bench(f"local[{CPUS}]"),
         "warc_xpath_74": warc_xpath_bench(f"local[{CPUS}]"),
         "warc_xpath_real": warc_xpath_real_bench(f"local[{CPUS}]"),
+        "scaling": scaling,
     }
 
-    if SCALING:
-        # scaling trio at the FULL headline size — at half size the 8- and
-        # 32-core legs starve on fixed stage latency (measured t32 < t8) and
-        # the efficiency figure stops measuring the engine.
-        # The N/4N pair runs in REPEATED interleaved windows (per-leg best):
-        # this sandbox shows multi-minute external-contention windows that
-        # depress the multi-core legs 25-40% while leaving local[2] intact
-        # (verified by re-running the round-1 commit: identical t2, -26% t8)
-        # — one unlucky window would misreport the engine's scaling.
-        n_sc = n_frontier
-        # fixed window count (no early stop): an adaptive break keyed above
-        # the pass gate is an optional-stopping rule that biases the
-        # estimator; with a symmetric design both best-of-windows and
-        # median-of-windows are honest and both are reported.
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPEATS", "2"))
-        t2s, t8s = [], []
-        for _attempt in range(repeats):
-            t2s.append(crawl_subprocess("local[2]", n_sc, n_sc // 10, True))
-            t8s.append(crawl_subprocess("local[8]", n_sc, n_sc // 10, True))
-        t2 = max(t2s, key=lambda r: r["urls_per_sec"])
-        t8 = max(t8s, key=lambda r: r["urls_per_sec"])
-        med2 = statistics.median(r["urls_per_sec"] for r in t2s)
-        med8 = statistics.median(r["urls_per_sec"] for r in t8s)
-        t32 = main_run if CPUS == 32 else crawl_subprocess(
-            "local[32]", n_sc, n_sc // 10, True
-        )
-        result["scaling"] = {
-            "n_frontier": n_sc,
-            "t2_urls_per_sec": t2["urls_per_sec"],
-            "t8_urls_per_sec": t8["urls_per_sec"],
-            "t32_urls_per_sec": t32["urls_per_sec"],
-            # N vs 4N (contention-free pair — cores 2 and 8 of 32 don't
-            # saturate the socket's DRAM bandwidth; the multi-node proxy)
-            "efficiency_8_vs_4x2": round(
-                t8["urls_per_sec"] / (4.0 * t2["urls_per_sec"]), 3
-            ),
-            # median-of-windows companion figure: robust to a lucky best
-            # window the same way best-of is robust to an unlucky one
-            "efficiency_8_vs_4x2_median": round(med8 / (4.0 * med2), 3),
-            # same box 8→32: includes single-socket memory-bandwidth
-            # contention a real 4N-node cluster would not have
-            "efficiency_32_vs_4x8": round(
-                t32["urls_per_sec"] / (4.0 * t8["urls_per_sec"]), 3
-            ),
-            "method": (
-                "same job, fresh JVM subprocesses, identical partitioning;"
-                f" N/4N legs over {repeats} fixed interleaved windows"
-                " (no adaptive stop); best-of and median-of both reported"
-            ),
-            "t2_windows": [r["urls_per_sec"] for r in t2s],
-            "t8_windows": [r["urls_per_sec"] for r in t8s],
-        }
+    # full record → file; COMPACT single line → stdout (driver tail window)
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
 
-    print(json.dumps(result))
+    def _sect(d, rate_key):
+        if d is None:
+            return None
+        out = {rate_key: d[rate_key], "sec": d["sec"], "windows": d["windows"]}
+        if "parsed" in d:
+            out["parsed"] = d["parsed"]
+        return out
+
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "urls/sec",
+        "sf": sf,
+        "queries": queries,
+        "crawl": {
+            "n_frontier": n_frontier,
+            "urls_per_sec": main_run["urls_per_sec"],
+            "urls_per_sec_median": main_run.get("urls_per_sec_median"),
+            "fetch_cache_urls_per_sec": cached_run["urls_per_sec"],
+        },
+        "sections": {
+            "ann_sig_768": _sect(detail["ann_sig_768"], "rows_per_sec"),
+            "cascade_972": _sect(detail["cascade_972"], "rows_per_sec"),
+            "warc_xpath_74": _sect(detail["warc_xpath_74"], "rows_per_sec"),
+            "warc_xpath_real": _sect(detail["warc_xpath_real"], "docs_per_sec"),
+            "warc_xpath_real_combined": (
+                None
+                if detail["warc_xpath_real"] is None
+                else _sect(detail["warc_xpath_real"]["combined"], "docs_per_sec")
+            ),
+        },
+        "scaling": (
+            None
+            if scaling is None
+            else {
+                k: scaling[k]
+                for k in (
+                    "t2_urls_per_sec", "t8_urls_per_sec", "t32_urls_per_sec",
+                    "efficiency_8_vs_4x2", "efficiency_8_vs_4x2_median",
+                    "efficiency_32_vs_4x8", "efficiency_32_vs_4x8_median",
+                    "t2_windows", "t8_windows", "t32_windows",
+                )
+            }
+        ),
+        "detail": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
