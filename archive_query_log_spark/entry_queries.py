@@ -2051,37 +2051,108 @@ def img_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES["img_decode_validate"] = img_decode_validate
 
 
+def _multimodal_goldens() -> dict:
+    import json
+    from pathlib import Path
+
+    return json.loads(
+        (
+            Path(__file__).resolve().parent / "data/multimodal_goldens.json"
+        ).read_text()
+    )
+
+
+def _multimodal_oracle() -> str:
+    """VALUES-inlined frozen goldens (tools/make_multimodal_goldens.py —
+    regenerated byte-identically from the SAME pure feature/resize math the
+    Spark operators run; the byte-identity test pins the math, this oracle
+    pins the Spark plumbing around it)."""
+    g = _multimodal_goldens()
+    rows = ",\n    ".join(
+        "('{image_id}', {w}, {h}, '{fmt}', '{feat_sig}', {cos_sim}, {rank})".format(
+            image_id=r["image_id"],
+            w=g["out_w"],
+            h=g["out_h"],
+            fmt=r["fmt"],
+            feat_sig=r["feat_sig"],
+            cos_sim=repr(r["cos_sim"]),
+            rank="CAST(NULL AS INT)" if r["rank"] is None else r["rank"],
+        )
+        for r in g["images"]
+    )
+    return f"""
+WITH g(image_id, w, h, fmt, feat_sig, cos_sim, rank) AS (VALUES
+    {rows})
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h, fmt, feat_sig,
+       CAST(cos_sim AS DOUBLE) AS cos_sim, CAST(rank AS INT) AS rank
+FROM g
+"""
+
+
+@_q("img_multimodal_pipeline", _multimodal_oracle())
 def img_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline end-to-end (rows-only): synth images → resize
+    """Multimodal pipeline end-to-end, ORACLE-GATED: synth images → resize
     (mapInPandas, exact nearest-neighbor) → feature extraction (20-dim
-    array<float> embedding) → brute-force cosine top-k against the first
-    image's features — image similarity riding the SAME ANN stack as text
-    embeddings (operators/multimodal.py + similarity.py). Only the byte
-    codec is the documented stand-in; resize/feature math is real."""
+    array<float> embedding) → brute-force cosine top-k against the
+    img00000000 query vector — image similarity riding the SAME ANN stack
+    as text embeddings (operators/multimodal.py + similarity.py). Only the
+    byte codec is the documented stand-in; resize/feature math is real.
+
+    Per image the gate hash-checks: resized dims, the md5 of the feature
+    vector's float32 bytes (exact byte identity of the whole embedding —
+    a raw float column would be at the mercy of engine float rendering),
+    the 4-decimal cosine, and the top-k rank — against the frozen goldens
+    of tools/make_multimodal_goldens.py (the lang-model pattern)."""
     from archive_query_log_spark.crawler import synth
     from archive_query_log_spark.operators.multimodal import (
+        feature_signature,
         image_features,
         resize_images,
     )
-    from archive_query_log_spark.operators.similarity import brute_force_topk
+    from archive_query_log_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+    )
 
     images = synth.synth_images(spark, 200, 8).select(
         "image_id", "bytes", "w", "h", "fmt"
     )
     resized = resize_images(images, 16, 16)
-    # cached: the driver-side qv collect below would otherwise re-run the
-    # whole synth→resize→features lineage a second time for the top-k
+    # cached for the two driver-side metadata collects (query vector +
+    # top-k ranks); unpersisted before return so no cache leaks out of the
+    # entry — the final gate collection recomputes the (cheap) lineage
     emb = resized.where(F.col("bytes").isNotNull()).select(
-        "image_id", image_features("bytes").alias("embedding")
+        "image_id", "w", "h", "fmt",
+        image_features("bytes").alias("embedding"),
     ).cache()
-    qv = [
-        float(x)
-        for x in emb.where(F.col("image_id") == "img00000000")
-        .collect()[0]["embedding"]
-    ]
-    return brute_force_topk(
-        emb, qv, k=10, id_col="image_id", vec_col="embedding"
+    try:
+        qrows = (
+            emb.where(F.col("image_id") == "img00000000")
+            .select("embedding")
+            .collect()
+        )
+        if not qrows or qrows[0]["embedding"] is None:
+            raise RuntimeError(
+                "query image img00000000 missing or failed decode/resize —"
+                " synthetic image set is broken"
+            )
+        qv = [float(x) for x in qrows[0]["embedding"]]
+        topk = brute_force_topk(
+            emb, qv, k=10, id_col="image_id", vec_col="embedding"
+        ).collect()  # 10 rows — metadata-sized
+    finally:
+        emb.unpersist()
+    ranks = spark.createDataFrame(
+        [(r["image_id"], i + 1) for i, r in enumerate(topk)],
+        "image_id string, rank int",
     )
+    q = F.array(*[F.lit(x) for x in qv])
+    scored = emb.select(
+        "image_id", "w", "h", "fmt",
+        feature_signature("embedding").alias("feat_sig"),
+        F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"),
+    )
+    return scored.join(F.broadcast(ranks), "image_id", "left")
 
 
 _QUERIES["img_multimodal_pipeline"] = img_multimodal_pipeline
@@ -2696,11 +2767,9 @@ _GATE_ORDER: list[str] = [
     "u2_union_streams",
     "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_jaccard_pairs",
     "dedup_cluster_assign",
     "dedup_lsh_candidate_pairs",
     "dedup_simhash_pairs",
-    "dedup_simhash",
     "dedup_pipeline_e2e",
     "ann_near_dup_pairs",
     "ann_ivf_topk",
@@ -2711,7 +2780,17 @@ _GATE_ORDER: list[str] = [
     # oracle-backed just past the window
     "text_lang_id_model",
     "text_quality",
-    "text_fingerprint",
+    # round-5 window strengthening: three near-duplicate entries swapped
+    # out for the strongest previously-ungated evidence — dedup_simhash
+    # (subsumed by dedup_simhash_pairs) → serp_combined_parity (the
+    # production parse_serp single-DOM path), text_fingerprint (overlaps
+    # dedup_minhash_signatures) → robots_parse (the north-rule politeness
+    # input), dedup_jaccard_pairs (1 row at sf0.01, subsumed by
+    # dedup_pipeline_e2e) → img_multimodal_pipeline (frozen feature-vector
+    # goldens). The swapped-out entries stay oracle-backed past the window.
+    "serp_combined_parity",
+    "robots_parse",
+    "img_multimodal_pipeline",
 ]
 
 

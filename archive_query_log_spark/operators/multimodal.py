@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 
 from archive_query_log_spark.crawler import codec
 
-__all__ = ["resize_images", "image_features", "sample_frames"]
+__all__ = [
+    "resize_images",
+    "image_features",
+    "features_of",
+    "feature_signature",
+    "sample_frames",
+]
 
 
 def _resize_nn(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -104,6 +110,24 @@ def resize_images(
 N_FEATURES = 20  # mean, std, row-grad, col-grad + 16-bin histogram
 
 
+def features_of(pixels: np.ndarray) -> list[float]:
+    """Pure per-image feature math (the single source of truth): decoded
+    pixel array → 20-dim float32 vector. Shared by the Spark UDF below and
+    by tools/make_multimodal_goldens.py, so the frozen goldens and the
+    running pipeline can never drift apart silently — a change here breaks
+    the golden byte-identity test."""
+    x = pixels.astype(np.float64)
+    grad_r = np.abs(np.diff(x, axis=0)).mean() if x.shape[0] > 1 else 0.0
+    grad_c = np.abs(np.diff(x, axis=1)).mean() if x.shape[1] > 1 else 0.0
+    hist = np.bincount(pixels.ravel() >> 4, minlength=16).astype(np.float64)
+    hist /= max(1.0, hist.sum())
+    return (
+        np.concatenate(([x.mean(), x.std(), grad_r, grad_c], hist))
+        .astype(np.float32)
+        .tolist()
+    )
+
+
 def image_features(img_bytes: Column | str) -> Column:
     """bytes → array<float> feature vector (length N_FEATURES); NULL on
     corrupt payloads. Real numpy math over decoded pixels."""
@@ -115,21 +139,38 @@ def image_features(img_bytes: Column | str) -> Column:
         for buf in bufs:
             try:
                 _, _, _, px = codec.decode(bytes(buf))
-                x = px.astype(np.float64)
-                grad_r = np.abs(np.diff(x, axis=0)).mean() if x.shape[0] > 1 else 0.0
-                grad_c = np.abs(np.diff(x, axis=1)).mean() if x.shape[1] > 1 else 0.0
-                hist = np.bincount(px.ravel() >> 4, minlength=16).astype(np.float64)
-                hist /= max(1.0, hist.sum())
-                out.append(
-                    np.concatenate(
-                        ([x.mean(), x.std(), grad_r, grad_c], hist)
-                    ).astype(np.float32).tolist()
-                )
+                out.append(features_of(px))
             except Exception:
                 out.append(None)
         return pd.Series(out, dtype=object)
 
     return _feat(F.col(img_bytes) if isinstance(img_bytes, str) else img_bytes)
+
+
+def feature_signature(vec: Column | str) -> Column:
+    """array<float> → md5 hex of the vector's little-endian float32 bytes —
+    an exact byte-identity fingerprint of the whole embedding, safe to
+    hash-gate cross-engine (a raw float column would be at the mercy of each
+    engine's float→string rendering). NULL in, NULL out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+            else:
+                out.append(
+                    hashlib.md5(
+                        np.asarray(v, dtype="<f4").tobytes()
+                    ).hexdigest()
+                )
+        return pd.Series(out, dtype=object)
+
+    return _sig(F.col(vec) if isinstance(vec, str) else vec)
 
 
 def sample_frames(
@@ -138,9 +179,11 @@ def sample_frames(
     video_id_col: str = "video_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """Every k-th frame of each packed video → (video_id, frame_idx,
-    frame_bytes) rows. Container-level seek: skipped frames are sliced
-    over, not decoded. UDTF shape (1 row → many) via mapInPandas."""
+    """Every k-th frame of each packed video → (<video_id_col>, frame_idx,
+    frame_bytes) rows — the id column keeps the CALLER's name, so a
+    differently-named id column is never silently renamed. Container-level
+    seek: skipped frames are sliced over, not decoded. UDTF shape (1 row →
+    many) via mapInPandas."""
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
 
@@ -163,9 +206,10 @@ def sample_frames(
                     idxs.append(i)
                     frames.append(frame)
             yield pd.DataFrame(
-                {"video_id": vids, "frame_idx": idxs, "frame_bytes": frames}
+                {video_id_col: vids, "frame_idx": idxs, "frame_bytes": frames}
             )
 
     return df.mapInPandas(
-        _batches, "video_id string, frame_idx int, frame_bytes binary"
+        _batches,
+        f"{video_id_col} string, frame_idx int, frame_bytes binary",
     )

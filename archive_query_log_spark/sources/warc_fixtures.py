@@ -59,16 +59,22 @@ def load_fixture_rows(
 ) -> list[tuple[str, str, str]]:
     """All (provider_id, url, html) rows from every ``<name>.jsonl`` +
     ``<name>.warc.gz`` pair under ``fixtures_dir``. URLs are normalized the
-    way the reference feeds them to its parsers (pydantic ``HttpUrl``) when
-    pydantic is available; raw otherwise."""
+    way the reference feeds them to its parsers (pydantic ``HttpUrl``).
+
+    Fails fast without pydantic — same contract as result_blocks_udf /
+    parse_serp_udf: a silent raw-URL fallback would feed parity tests
+    environment-dependent inputs and report false mismatches."""
     try:
         from pydantic import HttpUrl
+    except ImportError as exc:  # pragma: no cover - pydantic ships here
+        raise ImportError(
+            "load_fixture_rows requires pydantic for reference-parity URL"
+            " normalization (HttpUrl.encoded_string); refusing to fall back"
+            " to raw URLs — parity corpora would silently diverge"
+        ) from exc
 
-        def norm(u: str) -> str:
-            return HttpUrl(u).encoded_string()
-    except ImportError:  # pragma: no cover - pydantic ships in this env
-        def norm(u: str) -> str:
-            return u
+    def norm(u: str) -> str:
+        return HttpUrl(u).encoded_string()
 
     fixtures_dir = Path(fixtures_dir)
     rows: list[tuple[str, str, str]] = []

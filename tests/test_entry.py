@@ -8,7 +8,6 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 SQL_FREE = {
     "img_decode_validate",
-    "img_multimodal_pipeline",
     "crawl_pipeline_round",
     "a2_approx_distinct",
 }

@@ -171,3 +171,32 @@ def test_resize_rejects_degenerate_dims_and_stale_metadata(spark):
         resize_images(df2, 8, 8)
     out = resize_images(df2, 8, 8, w_col="width", h_col="h")
     assert "width" in out.columns
+
+
+def test_multimodal_goldens_regenerate_byte_identically():
+    """The frozen multimodal goldens (feature-vector md5s, cosines, top-k
+    ranks) must be exactly what the generator emits from the shared pure
+    math (features_of/_resize_nn + codec) — a drifted or hand-edited
+    artifact breaks the img_multimodal_pipeline oracle guarantee."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import make_multimodal_goldens as gen
+
+    committed = gen.OUT_PATH.read_text()
+    assert gen.render(gen.compute_goldens()) == committed
+
+
+def test_sample_frames_keeps_caller_id_column_name(spark):
+    """Review-pinned: a differently-named video id column must come out
+    under the SAME name, not silently renamed to 'video_id'."""
+    video = codec.encode_video(
+        [codec.encode(codec.synth_pixels("f0", 4, 4), "png")]
+    )
+    df = spark.createDataFrame(
+        [("clip-1", bytearray(video))], "clip_id string, bytes binary"
+    )
+    out = sample_frames(df, every_k=1, video_id_col="clip_id")
+    assert out.columns == ["clip_id", "frame_idx", "frame_bytes"]
+    assert out.collect()[0]["clip_id"] == "clip-1"
