@@ -2020,9 +2020,59 @@ def a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES["a2_approx_distinct"] = a2_approx_distinct
 
 
+def _img_validate_oracle() -> str:
+    """Pure-Python twin of the fetch-validation aggregates over the exact
+    200-image synthetic set: per image, synthesize → encode → validate_row
+    (the same per-row verdict function the Arrow UDF calls), then fold the
+    per-format aggregates driver-side. What the gate then verifies is the
+    whole Spark side AROUND that function: the payload join, the Arrow
+    batching, the 404-coalesce, and the per-format aggregation — the
+    multimodal/lang-model oracle pattern. ~50 ms at import for 200 32×32
+    images."""
+    from archive_query_log_spark.crawler import codec
+    from archive_query_log_spark.crawler.synth import (
+        IMG_H,
+        IMG_W,
+        image_id_for,
+    )
+
+    agg: dict[str, list] = {}
+    for i in range(200):
+        iid = image_id_for(i)
+        fmt = "jpeg" if i % 2 else "png"  # synth_images' fmt rule
+        pixels = codec.synth_pixels(iid, IMG_W, IMG_H)
+        buf = codec.encode(pixels, fmt)
+        stored_phash = codec.phash(codec.decode(buf)[3])
+        s, p, psnr_ok, caption_ok, phash_ok = codec.validate_row(
+            buf, iid, IMG_W, IMG_H, fmt, codec.synth_caption(iid), stored_phash
+        )
+        assert s == 200, f"synthetic image {iid} failed its own validation"
+        a = agg.setdefault(fmt, [0, 0, 0, 0, None])
+        a[0] += 1
+        a[1] += int(psnr_ok)
+        a[2] += int(caption_ok)
+        a[3] += int(phash_ok)
+        a[4] = p if a[4] is None else min(a[4], p)
+    rows = ",\n    ".join(
+        f"('{fmt}', {a[0]}, {a[1]}, {a[2]}, {a[3]}, {a[4]!r})"
+        for fmt, a in sorted(agg.items())
+    )
+    return f"""
+WITH g(img_fmt, n, n_psnr_ok, n_caption_ok, n_phash_ok, min_psnr_db) AS (VALUES
+    {rows})
+SELECT img_fmt, CAST(n AS BIGINT) AS n, CAST(n_psnr_ok AS BIGINT) AS n_psnr_ok,
+       CAST(n_caption_ok AS BIGINT) AS n_caption_ok,
+       CAST(n_phash_ok AS BIGINT) AS n_phash_ok,
+       CAST(min_psnr_db AS DOUBLE) AS min_psnr_db
+FROM g
+"""
+
+
+@_q("img_decode_validate", _img_validate_oracle())
 def img_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary image column → Arrow-batched decode →
-    per-row PSNR/caption/phash verdicts, aggregated per format.
+    """Multimodal plumbing, ORACLE-GATED: binary image column →
+    Arrow-batched decode → per-row PSNR/caption/phash verdicts, aggregated
+    per format, against a pure-Python per-image twin of the same verdicts.
 
     The codec is the deterministic stub (crawler/codec.py) — the Spark-side
     schema/partitioning/UDF shape is the real thing under test."""
@@ -2046,9 +2096,6 @@ def img_decode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("psnr_db")).alias("min_psnr_db"),
         )
     )
-
-
-_QUERIES["img_decode_validate"] = img_decode_validate
 
 
 def _multimodal_goldens() -> dict:
