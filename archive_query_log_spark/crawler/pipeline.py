@@ -303,6 +303,48 @@ def crawl_progress(spark: SparkSession, state: CrawlState) -> DataFrame:
     ).orderBy("round")
 
 
+def maintain(
+    spark: SparkSession,
+    state: CrawlState,
+    keep_last: int = 8,
+    compact_over_dirs: int = 16,
+    orphan_age_s: float = 3600.0,
+) -> dict:
+    """Between-rounds table maintenance (Iceberg housekeeping): compact
+    fragmented logs, expire old snapshots, collect killed-run orphans. At
+    10^10-frontier scale a long crawl otherwise accretes one manifest + one
+    small parquet dir per table per round — file listing, not I/O, becomes
+    the scan bottleneck.
+
+    Run at a ROUND BOUNDARY only (after run()/run_round returns), never
+    concurrently with a round. ``keep_last >= 2`` is enforced: the crash-
+    replay path reads the snapshot *before* the replayed round
+    (_version_before_round), so at least one pre-round snapshot must
+    survive expiry. Compaction carries the ``round`` lineage key forward,
+    keeping next_round_id()/replay guards intact across rewrites (pinned
+    in tests)."""
+    if keep_last < 2:
+        raise ValueError(
+            f"keep_last must be >= 2 (crash-replay needs the pre-round"
+            f" snapshot), got {keep_last}"
+        )
+    report: dict = {}
+    for name in ("frontier", "fetches", "seen_keys", "seen_shards", "metrics"):
+        t: SnapshotTable = getattr(state, name)
+        if not t.exists():
+            continue
+        r: dict = {}
+        m = t._manifest(t.latest_version())
+        if compact_over_dirs and len(m["data_dirs"]) >= compact_over_dirs:
+            r["compacted_to_version"] = t.compact(
+                spark, carry_meta_keys=("round", "stage")
+            )
+        r["expire"] = t.expire_snapshots(keep_last=keep_last)
+        r["orphans_removed"] = t.remove_orphans(older_than_s=orphan_age_s)
+        report[name] = r
+    return report
+
+
 def run(
     spark: SparkSession,
     state: CrawlState,

@@ -201,3 +201,153 @@ class SnapshotTable:
 
     def history(self) -> list[dict[str, Any]]:
         return [self._manifest(v) for v in self._versions()]
+
+    # -- maintenance (Iceberg parity: expire_snapshots / remove_orphan_files /
+    #    rollback / rewrite_data_files) --------------------------------------
+    #
+    # Single-maintainer assumption (like Iceberg's): maintenance runs from
+    # one process at a time, not concurrently with itself. Writers are safe
+    # concurrently with remove_orphans only via its ``older_than_s`` guard.
+
+    def referenced_dirs(self, versions: list[int] | None = None) -> set[str]:
+        """Union of data dirs referenced by the given (default: all
+        committed) snapshots."""
+        vs = self._versions() if versions is None else versions
+        refs: set[str] = set()
+        for v in vs:
+            refs.update(self._manifest(v)["data_dirs"])
+        return refs
+
+    def expire_snapshots(self, keep_last: int) -> dict[str, Any]:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        dirs referenced ONLY by the dropped ones (append-log manifests carry
+        their parents' dirs forward, so appends expire to pure metadata
+        deletes; overwritten/rolled-back-over dirs are physically removed).
+
+        Crash-safe ordering: expired MANIFESTS are deleted first (old
+        versions disappear atomically, the surviving table is never
+        touched), then the now-unreferenced data dirs — a crash in between
+        leaves only orphan dirs, which ``remove_orphans`` collects.
+
+        At 10^10-frontier scale this bounds the commit log of the per-round
+        append tables (fetch log, metrics): without expiry every round adds
+        a manifest forever. ``keep_last`` must cover the resume window —
+        the pipeline's replay guard reads only the LATEST manifest, so any
+        keep_last >= 1 preserves exactly-once resume."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        vs = self._versions()
+        expired, kept = vs[:-keep_last], vs[-keep_last:]
+        keep_refs = self.referenced_dirs(kept)
+        victims = self.referenced_dirs(expired) - keep_refs
+        for v in expired:
+            (self.snap_dir / f"v{v}.json").unlink()
+        deleted = []
+        for d in sorted(victims):
+            p = Path(d)
+            if p.exists():
+                shutil.rmtree(p)
+                deleted.append(d)
+            # a bucketed dir's parent v*-<hex> dir may now be empty
+            parent = p.parent
+            if (
+                parent != self.data_dir
+                and parent.exists()
+                and not any(parent.iterdir())
+            ):
+                parent.rmdir()
+        return {
+            "expired_versions": expired,
+            "kept_versions": kept,
+            "deleted_dirs": deleted,
+        }
+
+    def remove_orphans(self, older_than_s: float = 0.0) -> list[str]:
+        """Delete top-level data dirs referenced by NO committed snapshot —
+        the debris of killed runs (``commit`` writes data files before the
+        manifest rename, so a crash strands exactly one unreferenced dir)
+        and of crash-interrupted ``expire_snapshots``.
+
+        ``older_than_s`` skips dirs younger than the given age — the
+        Iceberg ``remove_orphan_files(older_than)`` guard that keeps a
+        CONCURRENT writer's not-yet-committed dir safe. Use an age
+        comfortably above the longest plausible commit (hours in
+        production; tests pass 0)."""
+        import shutil
+
+        refs = self.referenced_dirs()
+        now = time.time()
+        orphans: list[str] = []
+        if not self.data_dir.exists():
+            return orphans
+        for top in sorted(self.data_dir.iterdir()):
+            s = str(top)
+            if any(r == s or r.startswith(s + os.sep) for r in refs):
+                continue
+            if now - top.stat().st_mtime < older_than_s:
+                continue
+            shutil.rmtree(top)
+            orphans.append(s)
+        return orphans
+
+    def rollback(self, to_version: int) -> int:
+        """Publish a NEW snapshot that re-exposes ``to_version``'s data —
+        resume-from-known-good without rewriting a byte (Iceberg
+        ``rollback_to_snapshot``). History stays linear: the bad versions
+        remain until expired, and the rollback is itself a commit with
+        lineage metadata."""
+        m = self._manifest(to_version)  # raises if expired/never existed
+        parent = self.latest_version()
+        version = parent + 1  # parent exists: _manifest(to_version) passed
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": "rollback",
+            "data_dirs": m["data_dirs"],
+            "committed_at": time.time(),
+            "meta": {"rolled_back_to": to_version},
+        }
+        for k in ("bucket_key", "n_buckets", "buckets"):
+            if k in m:
+                manifest[k] = m[k]
+        tmp = self.snap_dir / f".v{version}.json.tmp.{uuid.uuid4().hex[:6]}"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, self.snap_dir / f"v{version}.json")
+        return version
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int | None = None,
+        carry_meta_keys: tuple[str, ...] = (),
+    ) -> int:
+        """Rewrite the current snapshot into freshly-packed data files and
+        commit the result (Iceberg ``rewrite_data_files``): the small-files
+        answer for append-heavy logs, where a 10^4-round fetch log would
+        otherwise drag 10^4 tiny dirs through every scan's file listing.
+        Bucketed tables keep their (key, n_buckets) layout — one packed dir
+        per bucket, merge ops unaffected. Row content is byte-identical;
+        only the physical layout changes. Chain with ``expire_snapshots``
+        to reclaim the superseded files."""
+        v = self.latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(v)
+        df = self.read(spark)
+        n_files_before = len(m["data_dirs"])
+        meta = {"compacted_from": v, "dirs_before": n_files_before}
+        # carry chosen lineage keys through (e.g. the crawl pipeline's
+        # "round" replay guard — a compacted log must still answer "which
+        # round produced the latest state")
+        for k in carry_meta_keys:
+            if k in m.get("meta", {}):
+                meta[k] = m["meta"][k]
+        if "buckets" in m:
+            return self.commit_bucketed(
+                df, m["bucket_key"], m["n_buckets"], meta=meta
+            )
+        if target_partitions is not None:
+            df = df.repartition(target_partitions)
+        return self.commit(df, op="overwrite", meta=meta)
