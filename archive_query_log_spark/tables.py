@@ -40,7 +40,15 @@ def bucket_of(key: Column | str, n_buckets: int) -> Column:
 
 class SnapshotTable:
     def __init__(self, path: str | Path):
-        self.path = Path(path)
+        # canonicalize the root once: manifests record ABSOLUTE resolved
+        # data paths (like Iceberg's absolute file URIs), so commits made
+        # under one spelling of the root (relative cwd path, symlink, '..'
+        # segments) and maintenance under another agree on file identity —
+        # and '..' through a not-yet-existing segment cannot silently
+        # address a different (empty) table and collide version numbers.
+        # The standard Iceberg caveat carries over: physically MOVING the
+        # table tree requires rewriting manifests.
+        self.path = Path(path).resolve()
         self.snap_dir = self.path / "_snapshots"
         self.data_dir = self.path / "data"
 
@@ -211,12 +219,21 @@ class SnapshotTable:
 
     def referenced_dirs(self, versions: list[int] | None = None) -> set[str]:
         """Union of data dirs referenced by the given (default: all
-        committed) snapshots."""
+        committed) snapshots, as spelled in the manifests."""
         vs = self._versions() if versions is None else versions
         refs: set[str] = set()
         for v in vs:
             refs.update(self._manifest(v)["data_dirs"])
         return refs
+
+    @staticmethod
+    def _canon(d: str | Path) -> str:
+        """Canonical spelling for path-identity comparisons: manifests
+        record paths as spelled at commit time (relative to that process's
+        cwd, through symlinks, ...), so liveness checks must resolve — a
+        raw string compare would classify every live dir as an orphan when
+        the table is reopened under a different spelling (review-pinned)."""
+        return str(Path(d).resolve())
 
     def expire_snapshots(self, keep_last: int) -> dict[str, Any]:
         """Drop all but the newest ``keep_last`` snapshots and delete data
@@ -231,17 +248,24 @@ class SnapshotTable:
 
         At 10^10-frontier scale this bounds the commit log of the per-round
         append tables (fetch log, metrics): without expiry every round adds
-        a manifest forever. ``keep_last`` must cover the resume window —
-        the pipeline's replay guard reads only the LATEST manifest, so any
-        keep_last >= 1 preserves exactly-once resume."""
+        a manifest forever. ``keep_last`` must cover the RESUME window of
+        whatever reads the table: the crawl pipeline's crash-replay path
+        reads the snapshot *before* the replayed round
+        (pipeline._version_before_round), so crawl state needs
+        keep_last >= 2 — which ``pipeline.maintain`` enforces; keep_last=1
+        is only safe for tables nothing replays against."""
         import shutil
 
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         vs = self._versions()
         expired, kept = vs[:-keep_last], vs[-keep_last:]
-        keep_refs = self.referenced_dirs(kept)
-        victims = self.referenced_dirs(expired) - keep_refs
+        keep_refs = {self._canon(d) for d in self.referenced_dirs(kept)}
+        victims = {
+            d
+            for d in self.referenced_dirs(expired)
+            if self._canon(d) not in keep_refs
+        }
         for v in expired:
             (self.snap_dir / f"v{v}.json").unlink()
         deleted = []
@@ -277,13 +301,13 @@ class SnapshotTable:
         production; tests pass 0)."""
         import shutil
 
-        refs = self.referenced_dirs()
+        refs = {self._canon(d) for d in self.referenced_dirs()}
         now = time.time()
         orphans: list[str] = []
         if not self.data_dir.exists():
             return orphans
         for top in sorted(self.data_dir.iterdir()):
-            s = str(top)
+            s = self._canon(top)
             if any(r == s or r.startswith(s + os.sep) for r in refs):
                 continue
             if now - top.stat().st_mtime < older_than_s:
@@ -301,13 +325,19 @@ class SnapshotTable:
         m = self._manifest(to_version)  # raises if expired/never existed
         parent = self.latest_version()
         version = parent + 1  # parent exists: _manifest(to_version) passed
+        # carry the target's meta (review-pinned): the crawl pipeline's
+        # next_round_id()/replay guards read lineage keys like "round" from
+        # the latest manifest — a rollback that dropped them would reset a
+        # resumed crawl to round 0 against still-populated logs
+        meta = dict(m.get("meta", {}))
+        meta["rolled_back_to"] = to_version
         manifest = {
             "version": version,
             "parent": parent,
             "op": "rollback",
             "data_dirs": m["data_dirs"],
             "committed_at": time.time(),
-            "meta": {"rolled_back_to": to_version},
+            "meta": meta,
         }
         for k in ("bucket_key", "n_buckets", "buckets"):
             if k in m:

@@ -192,3 +192,43 @@ def test_maintain_between_rounds_preserves_crawl_equivalence(spark, tmp_path):
     assert seen_a == seen_b
     with pytest.raises(ValueError):
         pipeline.maintain(spark, sa, keep_last=1)
+
+
+def test_rollback_carries_lineage_meta(spark, tmp_path):
+    """Review-pinned: rolling crawl state back to a known-good round must
+    preserve the 'round' lineage key, or next_round_id() would restart a
+    resumed crawl at round 0 against still-populated logs."""
+    t = SnapshotTable(tmp_path / "t")
+    t.commit(spark.createDataFrame([(1, "a")], "k int, v string"),
+             op="append", meta={"round": 0})
+    t.commit(spark.createDataFrame([(2, "b")], "k int, v string"),
+             op="append", meta={"round": 1})
+    v = t.rollback(0)
+    m = t._manifest(v)
+    assert m["meta"]["round"] == 0
+    assert m["meta"]["rolled_back_to"] == 0
+
+
+def test_orphan_gc_survives_path_respelling(spark, tmp_path, monkeypatch):
+    """Review-pinned: commits made under one spelling of the table root
+    (symlink, relative cwd path) and maintenance under another must agree
+    on file identity — a raw-string compare would classify every live dir
+    as an orphan and delete the table."""
+    t = _mk(spark, tmp_path / "t", [(1, "a")])
+    # symlink alias
+    link = tmp_path / "link"
+    os.symlink(tmp_path / "t", link)
+    aliased = SnapshotTable(link)
+    assert aliased.remove_orphans(older_than_s=0) == []
+    assert _rows(spark, t) == [(1, "a")]
+    # relative-path alias: commit via a cwd-relative spelling, maintain via
+    # the absolute one
+    monkeypatch.chdir(tmp_path)
+    rel = SnapshotTable("t")
+    rel.commit(
+        spark.createDataFrame([(2, "b")], "k int, v string"), op="append"
+    )
+    monkeypatch.chdir("/")
+    assert t.remove_orphans(older_than_s=0) == []
+    t.expire_snapshots(keep_last=1)
+    assert _rows(spark, t) == [(1, "a"), (2, "b")]

@@ -75,8 +75,15 @@ def _cos_round4(a: list[float], b: list[float]) -> float:
     c = _dot_seq(a, b) / (
         math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b))
     )
-    # Spark's F.round(double, 4) = BigDecimal(exact double value) HALF_UP
-    return float(Decimal(c).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+    # Spark's F.round(double, 4) goes through BigDecimal.valueOf, i.e. the
+    # SHORTEST decimal repr of the double (Double.toString), then HALF_UP —
+    # so replicate with Decimal(repr(c)), NOT Decimal(c) (the exact binary
+    # expansion): for c = 0.00015 the shortest repr rounds to 0.0002 while
+    # the exact binary value (0.000149999...) would round to 0.0001.
+    # (Review-verified live against Spark.)
+    return float(
+        Decimal(repr(c)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def compute_goldens() -> dict:
