@@ -2205,6 +2205,125 @@ def img_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUERIES["img_multimodal_pipeline"] = img_multimodal_pipeline
 
 
+_PHASH_N = 150  # originals; every 3rd gets a perturbed copy, every 5th exact
+
+
+def _phash_perturb(pixels, i: int):
+    """Deterministic near-duplicate perturbation: saturating +40 brighten
+    of one 4×4 patch chosen by the image index — a small phash flip (a
+    block mean or two), the shape of a re-encoded/watermarked duplicate.
+    Shared verbatim by the Spark dup-generation UDF and the pure-Python
+    oracle twin."""
+    import numpy as np
+
+    out = pixels.copy()
+    y, x = (i * 7) % 28, (i * 11) % 28
+    patch = out[y : y + 4, x : x + 4].astype(np.int32) + 40
+    out[y : y + 4, x : x + 4] = np.minimum(patch, 255).astype(np.uint8)
+    return out
+
+
+def _phash_pairs_oracle() -> str:
+    """Pure-Python twin of the phash near-dup pipeline (same codec math,
+    same pigeonhole, same exact-hamming filter) — VALUES-inlined like the
+    validate/multimodal oracles. What the gate verifies is the Spark
+    plumbing: dup synthesis mapInPandas, the Arrow phash UDF, the chunk
+    explode + equi-join + bit_count filter of dedup.hamming_near_pairs."""
+    from archive_query_log_spark.crawler import codec
+    from archive_query_log_spark.crawler.synth import (
+        IMG_H,
+        IMG_W,
+        image_id_for,
+    )
+
+    sigs: dict[str, int] = {}
+    for i in range(_PHASH_N):
+        iid = image_id_for(i)
+        fmt = "jpeg" if i % 2 else "png"
+        px0 = codec.decode(
+            codec.encode(codec.synth_pixels(iid, IMG_W, IMG_H), fmt)
+        )[3]
+        sigs[iid] = codec.phash(px0)
+        if i % 3 == 0:
+            px2 = codec.decode(codec.encode(_phash_perturb(px0, i), fmt))[3]
+            sigs["dup" + iid[3:]] = codec.phash(px2)
+        if i % 5 == 0:
+            sigs["cop" + iid[3:]] = codec.phash(px0)
+    width, mask = 16, (1 << 16) - 1
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for iid, s in sigs.items():
+        for c in range(4):
+            buckets.setdefault((c, (s >> (c * width)) & mask), []).append(iid)
+    pairs: set[tuple[str, str]] = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                pairs.add((ids[ai], ids[bi]))
+    m64 = (1 << 64) - 1
+    rows = sorted(
+        (a, b, bin((sigs[a] ^ sigs[b]) & m64).count("1"))
+        for a, b in pairs
+        if bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 3
+    )
+    vals = ",\n    ".join(f"('{a}', '{b}', {h})" for a, b, h in rows)
+    return f"""
+WITH g(id_a, id_b, hamming) AS (VALUES
+    {vals})
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM g
+"""
+
+
+@_q("img_phash_near_dup", _phash_pairs_oracle())
+def img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash — the standard
+    training-data image-dedup layout, riding the SAME pigeonhole equi-join
+    as text simhash (dedup.hamming_near_pairs; never all-pairs): synth
+    images + deterministic exact/perturbed duplicates → 64-bit phash
+    (Arrow UDF) → 16-bit-chunk candidate join → exact bit_count(xor) ≤ 3
+    verify. Oracle: pure-Python twin of the identical math."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from archive_query_log_spark.crawler import codec, synth
+    from archive_query_log_spark.operators.dedup import hamming_near_pairs
+    from archive_query_log_spark.operators.multimodal import phash_col
+
+    originals = synth.synth_images(spark, _PHASH_N, 8).select(
+        "image_id", "bytes", "fmt"
+    )
+
+    def _dups(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bufs, fmts = [], [], []
+            for iid, buf, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                i = int(iid[3:])
+                if i % 3 == 0:
+                    px = codec.decode(bytes(buf))[3]
+                    ids.append("dup" + iid[3:])
+                    bufs.append(codec.encode(_phash_perturb(px, i), fmt))
+                    fmts.append(fmt)
+                if i % 5 == 0:
+                    ids.append("cop" + iid[3:])
+                    bufs.append(bytes(buf))
+                    fmts.append(fmt)
+            yield pd.DataFrame(
+                {"image_id": ids, "bytes": bufs, "fmt": fmts}
+            )
+
+    dups = originals.mapInPandas(
+        _dups, "image_id string, bytes binary, fmt string"
+    )
+    allimg = originals.unionByName(dups)
+    sigs = allimg.select(
+        F.col("image_id").alias("id"), phash_col("bytes").alias("sig")
+    )
+    return hamming_near_pairs(
+        sigs, id_col="id", sig_col="sig", bits=64, max_hamming=3, n_chunks=4
+    )
+
+
 def crawl_pipeline_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One full crawl round (seen-set + politeness + fetch + validate) on a
     synthetic frontier; returns per-bucket lineage metrics."""

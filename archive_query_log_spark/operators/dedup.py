@@ -657,34 +657,36 @@ def _cc_star(
     )
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
+def hamming_near_pairs(
+    sig_df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
     bits: int = 32,
-    seed: int = 7,
+    max_hamming: int = 3,
     n_chunks: int = 4,
     max_chunk_df: int | None = 1000,
 ) -> DataFrame:
-    """SimHash near-dup pairs via the chunk-pigeonhole join: split the
-    signature into ``n_chunks`` bit ranges — any pair within hamming
-    distance ≤ n_chunks−1 shares at least one identical chunk — so candidate
-    generation is an EQUI-join on (chunk index, chunk value), never a cross
-    join, then exact hamming (bit_count of xor) verifies. The classic
-    simhash-at-scale layout (Manku et al.'s table scheme as one exploded
-    equi-join). Requires max_hamming < n_chunks (pigeonhole guarantee);
-    chunks shared by more than ``max_chunk_df`` docs are dropped (explicit
-    recall cut, same rationale as the shingle/band caps).
+    """Near-dup pairs over ANY integer bit-signature column (simhash,
+    image phash, ...) via the chunk-pigeonhole join: split the signature
+    into ``n_chunks`` bit ranges — any pair within hamming distance
+    ≤ n_chunks−1 shares at least one identical chunk — so candidate
+    generation is an EQUI-join on (chunk index, chunk value), never a
+    cross join, then exact hamming (bit_count of xor) verifies. The
+    classic simhash-at-scale layout (Manku et al.'s table scheme as one
+    exploded equi-join). Requires max_hamming < n_chunks (pigeonhole
+    guarantee); chunks shared by more than ``max_chunk_df`` rows are
+    dropped (explicit recall cut, same rationale as the shingle/band
+    caps).
 
-    Uses the md5-hash 32-bit signature so the DuckDB oracle is bit-exact
-    (swap in simhash64/xxhash at scale: same plan, stronger hash).
-    """
+    Sign-safe for int64 signatures (e.g. two's-complement phash):
+    Spark's ``shiftright`` sign-extends, but the chunk mask keeps only
+    ``bits/n_chunks`` low bits, and xor/bit_count are bitwise on the
+    two's-complement representation — the hamming distance is exact."""
     assert max_hamming < n_chunks, "pigeonhole needs max_hamming < n_chunks"
     width = bits // n_chunks
     mask = (1 << width) - 1
-    sig = simhash32_md5(df, text_col, id_col, seed=seed).select(
-        F.col(id_col).alias("id"), F.col("simhash32").alias("sim")
+    sig = sig_df.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sim")
     )
     stacked = sig.select(
         "id",
@@ -722,3 +724,31 @@ def simhash_near_pairs(
             F.col("sim_a").bitwiseXOR(F.col("sim_b"))
         ).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    seed: int = 7,
+    n_chunks: int = 4,
+    max_chunk_df: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs = the md5 32-bit signature writer feeding the
+    generic ``hamming_near_pairs`` pigeonhole join (bit-exact DuckDB
+    oracle; swap in simhash64/xxhash at scale: same plan, stronger hash).
+    """
+    sig = simhash32_md5(df, text_col, id_col, seed=seed).select(
+        F.col(id_col).alias("id"), F.col("simhash32").alias("sig")
+    )
+    return hamming_near_pairs(
+        sig,
+        id_col="id",
+        sig_col="sig",
+        bits=bits,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks,
+        max_chunk_df=max_chunk_df,
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "image_features",
     "features_of",
     "feature_signature",
+    "phash_col",
     "sample_frames",
 ]
 
@@ -145,6 +146,29 @@ def image_features(img_bytes: Column | str) -> Column:
         return pd.Series(out, dtype=object)
 
     return _feat(F.col(img_bytes) if isinstance(img_bytes, str) else img_bytes)
+
+
+def phash_col(img_bytes: Column | str) -> Column:
+    """bytes → 64-bit perceptual hash (the codec's average-hash: 8×8 block
+    means vs global mean, signed int64 so it rides a LongType column).
+    NULL on corrupt payloads. Feeds ``dedup.hamming_near_pairs`` for
+    image near-duplicate detection — the standard phash-dedup layout of a
+    training-data image pipeline, riding the same pigeonhole equi-join as
+    text simhash (never an all-pairs comparison)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _ph(bufs: pd.Series) -> pd.Series:
+        out = []
+        for buf in bufs:
+            try:
+                _, _, _, px = codec.decode(bytes(buf))
+                out.append(codec.phash(px))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _ph(F.col(img_bytes) if isinstance(img_bytes, str) else img_bytes)
 
 
 def feature_signature(vec: Column | str) -> Column:

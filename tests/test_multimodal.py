@@ -200,3 +200,24 @@ def test_sample_frames_keeps_caller_id_column_name(spark):
     out = sample_frames(df, every_k=1, video_id_col="clip_id")
     assert out.columns == ["clip_id", "frame_idx", "frame_bytes"]
     assert out.collect()[0]["clip_id"] == "clip-1"
+
+
+def test_phash_near_dup_pairs_classes(spark):
+    """hamming_near_pairs over image phash: exact copies land at hamming 0,
+    perturbed near-copies within the gate, unrelated images filtered by
+    the exact bit_count check even when a 16-bit chunk collides."""
+    from archive_query_log_spark.entry_queries import img_phash_near_dup
+
+    rows = img_phash_near_dup(spark, "").collect()
+    assert rows, "no near-dup pairs found"
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    # every exact copy is found at hamming 0 against its original
+    for i in range(0, 150, 5):
+        a, b = sorted((f"cop{i:08d}", f"img{i:08d}"))
+        assert by_pair.get((a, b)) == 0, (a, b)
+    # all reported pairs respect the gate
+    assert all(0 <= h <= 3 for h in by_pair.values())
+    # at least one PERTURBED duplicate survives (non-zero hamming)
+    assert any(
+        a.startswith("dup") and h > 0 for (a, _), h in by_pair.items()
+    )
