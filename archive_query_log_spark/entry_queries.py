@@ -2223,12 +2223,10 @@ def _phash_perturb(pixels, i: int):
     return out
 
 
-def _phash_pairs_oracle() -> str:
+def _phash_twin_pairs() -> list[tuple[str, str, int]]:
     """Pure-Python twin of the phash near-dup pipeline (same codec math,
-    same pigeonhole, same exact-hamming filter) — VALUES-inlined like the
-    validate/multimodal oracles. What the gate verifies is the Spark
-    plumbing: dup synthesis mapInPandas, the Arrow phash UDF, the chunk
-    explode + equi-join + bit_count filter of dedup.hamming_near_pairs."""
+    same pigeonhole, same exact-hamming filter). Feeds both the pair
+    oracle and the cluster oracle's recursive CTE."""
     from archive_query_log_spark.crawler import codec
     from archive_query_log_spark.crawler.synth import (
         IMG_H,
@@ -2261,12 +2259,21 @@ def _phash_pairs_oracle() -> str:
             for bi in range(ai + 1, len(ids)):
                 pairs.add((ids[ai], ids[bi]))
     m64 = (1 << 64) - 1
-    rows = sorted(
+    return sorted(
         (a, b, bin((sigs[a] ^ sigs[b]) & m64).count("1"))
         for a, b in pairs
         if bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 3
     )
-    vals = ",\n    ".join(f"('{a}', '{b}', {h})" for a, b, h in rows)
+
+
+def _phash_pairs_oracle() -> str:
+    """VALUES-inlined twin pairs (like the validate/multimodal oracles).
+    What the gate verifies is the Spark plumbing: dup synthesis
+    mapInPandas, the Arrow phash UDF, the chunk explode + equi-join +
+    bit_count filter of dedup.hamming_near_pairs."""
+    vals = ",\n    ".join(
+        f"('{a}', '{b}', {h})" for a, b, h in _phash_twin_pairs()
+    )
     return f"""
 WITH g(id_a, id_b, hamming) AS (VALUES
     {vals})
@@ -2274,14 +2281,11 @@ SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM g
 """
 
 
-@_q("img_phash_near_dup", _phash_pairs_oracle())
-def img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate detection by perceptual hash — the standard
-    training-data image-dedup layout, riding the SAME pigeonhole equi-join
-    as text simhash (dedup.hamming_near_pairs; never all-pairs): synth
-    images + deterministic exact/perturbed duplicates → 64-bit phash
-    (Arrow UDF) → 16-bit-chunk candidate join → exact bit_count(xor) ≤ 3
-    verify. Oracle: pure-Python twin of the identical math."""
+def _phash_pairs_df(spark: SparkSession) -> DataFrame:
+    """The live Spark phash near-dup pipeline shared by the pair and
+    cluster entries: synth images + deterministic exact/perturbed
+    duplicates (mapInPandas) → 64-bit phash (Arrow UDF) → 16-bit-chunk
+    pigeonhole equi-join → exact bit_count(xor) ≤ 3 verify."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -2322,6 +2326,51 @@ def img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_pairs(
         sigs, id_col="id", sig_col="sig", bits=64, max_hamming=3, n_chunks=4
     )
+
+
+@_q("img_phash_near_dup", _phash_pairs_oracle())
+def img_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash — the standard
+    training-data image-dedup layout, riding the SAME pigeonhole equi-join
+    as text simhash (dedup.hamming_near_pairs; never all-pairs). Oracle:
+    pure-Python twin of the identical math (_phash_twin_pairs)."""
+    return _phash_pairs_df(spark)
+
+
+def _phash_cluster_oracle() -> str:
+    """Transitive closure (recursive CTE) over the twin pairs — the same
+    oracle shape as dedup_cluster_assign, now for image duplicates."""
+    vals = ",\n    ".join(
+        f"('{a}', '{b}')" for a, b, _ in _phash_twin_pairs()
+    )
+    return f"""
+WITH RECURSIVE pairs(id_a, id_b) AS (VALUES
+    {vals}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+@_q("img_phash_cluster", _phash_cluster_oracle())
+def img_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image duplicate CLUSTERS: the phash near-dup pairs through
+    connected_components (large-star/small-star, labels = component-min
+    image id) — the keep-one-image-per-duplicate-cluster step of a
+    training-data image pipeline, verified against a recursive-CTE
+    transitive closure over the pure-Python twin pairs."""
+    from archive_query_log_spark.operators.dedup import connected_components
+
+    pairs = _phash_pairs_df(spark)
+    return connected_components(pairs, "id_a", "id_b")
 
 
 def crawl_pipeline_round(spark: SparkSession, sf_dir: str) -> DataFrame:
