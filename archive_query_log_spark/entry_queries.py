@@ -2360,6 +2360,106 @@ SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src
 """
 
 
+# video near-dup: 30 synthetic videos over a shared pool of 60 frame
+# images with stride-2 pools — consecutive videos overlap, distant ones
+# don't; every-2nd-frame sampling, exact frame-phash equi-join, pairs
+# sharing >= 2 distinct frame phashes
+_VID_N, _VID_POOL, _VID_FRAMES, _VID_STEP, _VID_MIN_SHARED = 30, 60, 8, 2, 2
+
+
+def _video_pool_indices(v: int) -> list[int]:
+    return [(2 * v + j) % _VID_POOL for j in range(_VID_FRAMES)]
+
+
+def _video_near_dup_oracle() -> str:
+    """Pure-Python twin: same codec math, same sampling positions, same
+    set-intersection semantics as the Spark countDistinct over the
+    phash equi-join."""
+    from archive_query_log_spark.crawler import codec
+
+    pool_phash: dict[int, int] = {}
+    for p in range(_VID_POOL):
+        px = codec.decode(
+            codec.encode(codec.synth_pixels(f"vf{p}", 16, 16), "png")
+        )[3]
+        pool_phash[p] = codec.phash(px)
+    vids: dict[str, set[int]] = {}
+    for v in range(_VID_N):
+        sampled = _video_pool_indices(v)[::_VID_STEP]
+        vids[f"vid{v:04d}"] = {pool_phash[p] for p in sampled}
+    rows = []
+    names = sorted(vids)
+    for ai in range(len(names)):
+        for bi in range(ai + 1, len(names)):
+            shared = len(vids[names[ai]] & vids[names[bi]])
+            if shared >= _VID_MIN_SHARED:
+                rows.append((names[ai], names[bi], shared))
+    vals = ",\n    ".join(f"('{a}', '{b}', {s})" for a, b, s in sorted(rows))
+    return f"""
+WITH g(vid_a, vid_b, shared_frames) AS (VALUES
+    {vals})
+SELECT vid_a, vid_b, CAST(shared_frames AS BIGINT) AS shared_frames FROM g
+"""
+
+
+@_q("video_near_dup", _video_near_dup_oracle())
+def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by sampled-frame phash overlap — the
+    training-data video-dedup layout: pack frames into containers
+    (codec.encode_video) → container-SEEK every-k-th-frame sampling
+    (multimodal.sample_frames — skipped frames never decoded) → per-frame
+    64-bit phash (Arrow UDF) → exact phash EQUI-join (hot-phash cap, never
+    all-pairs) → pairs sharing ≥ 2 distinct frame phashes. Oracle:
+    pure-Python twin of the identical math."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from archive_query_log_spark.crawler import codec
+    from archive_query_log_spark.operators.multimodal import (
+        phash_col,
+        sample_frames,
+    )
+
+    def _mk_videos(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, bufs = [], []
+            for v in pdf["id"]:
+                v = int(v)
+                frames = [
+                    codec.encode(codec.synth_pixels(f"vf{p}", 16, 16), "png")
+                    for p in _video_pool_indices(v)
+                ]
+                ids.append(f"vid{v:04d}")
+                bufs.append(codec.encode_video(frames))
+            yield pd.DataFrame({"video_id": ids, "bytes": bufs})
+
+    videos = spark.range(_VID_N, numPartitions=4).mapInPandas(
+        _mk_videos, "video_id string, bytes binary"
+    )
+    frames = sample_frames(videos, every_k=_VID_STEP)
+    sigs = frames.select(
+        "video_id", phash_col("frame_bytes").alias("sig")
+    ).dropDuplicates(["video_id", "sig"])
+    # hot-phash cap: a degenerate frame shared by everything (black frame,
+    # test card) would quadratically explode the self-join — drop it with
+    # an explicit recall cut, same rationale as the LSH band caps
+    hot = sigs.groupBy("sig").count().where(F.col("count") > 100)
+    sigs = sigs.join(F.broadcast(hot.select("sig")), "sig", "left_anti")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    return (
+        a.join(b, on="sig")
+        .where(F.col("a.video_id") < F.col("b.video_id"))
+        .groupBy(
+            F.col("a.video_id").alias("vid_a"),
+            F.col("b.video_id").alias("vid_b"),
+        )
+        .agg(F.count_distinct(F.col("sig")).alias("shared_frames"))
+        .where(F.col("shared_frames") >= _VID_MIN_SHARED)
+    )
+
+
 @_q("img_phash_cluster", _phash_cluster_oracle())
 def img_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image duplicate CLUSTERS: the phash near-dup pairs through

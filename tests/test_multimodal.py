@@ -221,3 +221,17 @@ def test_phash_near_dup_pairs_classes(spark):
     assert any(
         a.startswith("dup") and h > 0 for (a, _), h in by_pair.items()
     )
+
+
+def test_video_near_dup_overlap_structure(spark):
+    """Stride-2 pools with every-2nd-frame sampling: adjacent videos share
+    3 sampled frames, distance-2 share 2, distance-3 share 1 (below the
+    gate) — and the entry reports exactly the >= 2 pairs."""
+    from archive_query_log_spark.entry_queries import video_near_dup
+
+    rows = video_near_dup(spark, "").collect()
+    by_pair = {(r["vid_a"], r["vid_b"]): r["shared_frames"] for r in rows}
+    assert by_pair[("vid0000", "vid0001")] == 3
+    assert by_pair[("vid0000", "vid0002")] == 2
+    assert ("vid0000", "vid0003") not in by_pair
+    assert all(s >= 2 for s in by_pair.values())
