@@ -2223,10 +2223,12 @@ def _phash_perturb(pixels, i: int):
     return out
 
 
-def _phash_twin_pairs() -> list[tuple[str, str, int]]:
+@_lru_cache(maxsize=1)
+def _phash_twin_pairs() -> tuple[tuple[str, str, int], ...]:
     """Pure-Python twin of the phash near-dup pipeline (same codec math,
     same pigeonhole, same exact-hamming filter). Feeds both the pair
-    oracle and the cluster oracle's recursive CTE."""
+    oracle and the cluster oracle's recursive CTE — memoized so the two
+    import-time oracle builds share one computation."""
     from archive_query_log_spark.crawler import codec
     from archive_query_log_spark.crawler.synth import (
         IMG_H,
@@ -2259,10 +2261,12 @@ def _phash_twin_pairs() -> list[tuple[str, str, int]]:
             for bi in range(ai + 1, len(ids)):
                 pairs.add((ids[ai], ids[bi]))
     m64 = (1 << 64) - 1
-    return sorted(
-        (a, b, bin((sigs[a] ^ sigs[b]) & m64).count("1"))
-        for a, b in pairs
-        if bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 3
+    return tuple(
+        sorted(
+            (a, b, bin((sigs[a] ^ sigs[b]) & m64).count("1"))
+            for a, b in pairs
+            if bin((sigs[a] ^ sigs[b]) & m64).count("1") <= 3
+        )
     )
 
 

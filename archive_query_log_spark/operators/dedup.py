@@ -685,7 +685,11 @@ def hamming_near_pairs(
     assert max_hamming < n_chunks, "pigeonhole needs max_hamming < n_chunks"
     width = bits // n_chunks
     mask = (1 << width) - 1
-    sig = sig_df.select(
+    # NULL signatures (e.g. phash_col on corrupt payloads) are dropped up
+    # front: concat_ws skips a NULL chunk value, so they would otherwise
+    # all share the bare-index chunk keys and self-join quadratically
+    # before the (NULL-discarding) hamming predicate ran
+    sig = sig_df.where(F.col(sig_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(sig_col).alias("sim")
     )
     stacked = sig.select(

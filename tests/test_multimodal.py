@@ -206,13 +206,17 @@ def test_phash_near_dup_pairs_classes(spark):
     """hamming_near_pairs over image phash: exact copies land at hamming 0,
     perturbed near-copies within the gate, unrelated images filtered by
     the exact bit_count check even when a 16-bit chunk collides."""
-    from archive_query_log_spark.entry_queries import img_phash_near_dup
+    from archive_query_log_spark.entry_queries import (
+        _PHASH_N,
+        img_phash_near_dup,
+    )
 
     rows = img_phash_near_dup(spark, "").collect()
     assert rows, "no near-dup pairs found"
     by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
-    # every exact copy is found at hamming 0 against its original
-    for i in range(0, 150, 5):
+    # every exact copy (the every-5th rule of the entry) is found at
+    # hamming 0 against its original
+    for i in range(0, _PHASH_N, 5):
         a, b = sorted((f"cop{i:08d}", f"img{i:08d}"))
         assert by_pair.get((a, b)) == 0, (a, b)
     # all reported pairs respect the gate
