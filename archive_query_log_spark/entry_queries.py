@@ -2256,6 +2256,13 @@ def _phash_twin_pairs() -> tuple[tuple[str, str, int], ...]:
             buckets.setdefault((c, (s >> (c * width)) & mask), []).append(iid)
     pairs: set[tuple[str, str]] = set()
     for ids in buckets.values():
+        # the Spark side drops chunks hotter than max_chunk_df=1000; the
+        # twin runs uncapped, so any bucket at/over the cap would silently
+        # diverge oracle and pipeline if _PHASH_N grew — fail loudly instead
+        assert len(ids) < 1000, (
+            f"twin pigeonhole bucket has {len(ids)} ids — at or past the "
+            "Spark-side max_chunk_df cap; mirror the cap in this twin"
+        )
         ids = sorted(ids)
         for ai in range(len(ids)):
             for bi in range(ai + 1, len(ids)):
@@ -2369,6 +2376,7 @@ SELECT src AS node, min(dst) AS cluster_id FROM reach GROUP BY src
 # don't; every-2nd-frame sampling, exact frame-phash equi-join, pairs
 # sharing >= 2 distinct frame phashes
 _VID_N, _VID_POOL, _VID_FRAMES, _VID_STEP, _VID_MIN_SHARED = 30, 60, 8, 2, 2
+_VID_HOT_CAP = 100  # frame_overlap_pairs max_sig_df — twin asserts below it
 
 
 def _video_pool_indices(v: int) -> list[int]:
@@ -2391,6 +2399,18 @@ def _video_near_dup_oracle() -> str:
     for v in range(_VID_N):
         sampled = _video_pool_indices(v)[::_VID_STEP]
         vids[f"vid{v:04d}"] = {pool_phash[p] for p in sampled}
+    # the Spark side (frame_overlap_pairs) drops phashes shared by more
+    # than _VID_HOT_CAP videos; the twin runs uncapped, so a hot phash
+    # would silently diverge oracle and pipeline if the fixture grew —
+    # fail loudly instead
+    sig_df_count: dict[int, int] = {}
+    for sigset in vids.values():
+        for s in sigset:
+            sig_df_count[s] = sig_df_count.get(s, 0) + 1
+    assert max(sig_df_count.values()) <= _VID_HOT_CAP, (
+        "twin has a frame phash shared by more videos than the Spark-side "
+        "hot cap — mirror the cap in this twin"
+    )
     rows = []
     names = sorted(vids)
     for ai in range(len(names)):
@@ -2421,6 +2441,7 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from archive_query_log_spark.crawler import codec
     from archive_query_log_spark.operators.multimodal import (
+        frame_overlap_pairs,
         phash_col,
         sample_frames,
     )
@@ -2442,25 +2463,13 @@ def video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mk_videos, "video_id string, bytes binary"
     )
     frames = sample_frames(videos, every_k=_VID_STEP)
-    sigs = frames.select(
-        "video_id", phash_col("frame_bytes").alias("sig")
-    ).dropDuplicates(["video_id", "sig"])
-    # hot-phash cap: a degenerate frame shared by everything (black frame,
-    # test card) would quadratically explode the self-join — drop it with
-    # an explicit recall cut, same rationale as the LSH band caps
-    hot = sigs.groupBy("sig").count().where(F.col("count") > 100)
-    sigs = sigs.join(F.broadcast(hot.select("sig")), "sig", "left_anti")
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    return (
-        a.join(b, on="sig")
-        .where(F.col("a.video_id") < F.col("b.video_id"))
-        .groupBy(
-            F.col("a.video_id").alias("vid_a"),
-            F.col("b.video_id").alias("vid_b"),
-        )
-        .agg(F.count_distinct(F.col("sig")).alias("shared_frames"))
-        .where(F.col("shared_frames") >= _VID_MIN_SHARED)
+    sigs = frames.select("video_id", phash_col("frame_bytes").alias("sig"))
+    return frame_overlap_pairs(
+        sigs, min_shared=_VID_MIN_SHARED, max_sig_df=_VID_HOT_CAP
+    ).select(
+        F.col("id_a").alias("vid_a"),
+        F.col("id_b").alias("vid_b"),
+        "shared_frames",
     )
 
 

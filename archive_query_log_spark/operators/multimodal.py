@@ -237,3 +237,44 @@ def sample_frames(
         _batches,
         f"{video_id_col} string, frame_idx int, frame_bytes binary",
     )
+
+
+def frame_overlap_pairs(
+    sig_df: DataFrame,
+    id_col: str = "video_id",
+    sig_col: str = "sig",
+    min_shared: int = 2,
+    max_sig_df: int | None = 100,
+) -> DataFrame:
+    """Video near-dup pairs from per-frame signatures: videos sharing
+    ``min_shared`` or more DISTINCT frame signatures (typically phash via
+    ``sample_frames`` + ``phash_col``). Candidate generation is an exact
+    EQUI-join on the signature — never all-pairs — with the hot-signature
+    cap of the LSH/pigeonhole family: a degenerate frame shared by
+    everything (black frame, test card) would quadratically explode the
+    self-join, so signatures appearing in more than ``max_sig_df`` videos
+    are dropped with an explicit recall cut (audit the cut with
+    ``dedup.hot_key_report`` on the deduped (id, sig) frame).
+
+    Input rows are (id, sig) per sampled frame; duplicates and NULL
+    signatures (corrupt frames) are dropped up front. Returns
+    (id_a, id_b, shared_frames) with id_a < id_b."""
+    from archive_query_log_spark.operators.dedup import _drop_hot_keys
+
+    sig = (
+        sig_df.where(F.col(sig_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+        .dropDuplicates(["id", "sig"])
+    )
+    sig = _drop_hot_keys(sig, "sig", max_sig_df)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, on="sig")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(F.count_distinct(F.col("sig")).alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )

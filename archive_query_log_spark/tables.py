@@ -261,8 +261,12 @@ class SnapshotTable:
         vs = self._versions()
         expired, kept = vs[:-keep_last], vs[-keep_last:]
         keep_refs = {self._canon(d) for d in self.referenced_dirs(kept)}
+        # Victims are identified AND deleted under the canonical spelling:
+        # a pre-resolve manifest may record a cwd-relative dir, and deleting
+        # via the manifest-spelled path from a different cwd would silently
+        # strand it (exists() False) until a later remove_orphans.
         victims = {
-            d
+            self._canon(d)
             for d in self.referenced_dirs(expired)
             if self._canon(d) not in keep_refs
         }

@@ -239,3 +239,42 @@ def test_video_near_dup_overlap_structure(spark):
     assert by_pair[("vid0000", "vid0002")] == 2
     assert ("vid0000", "vid0003") not in by_pair
     assert all(s >= 2 for s in by_pair.values())
+
+
+def test_frame_overlap_pairs_operator(spark):
+    """Library operator semantics (the video_near_dup entry delegates to
+    this): distinct-signature counting, NULL-sig drop, hot-signature cap,
+    min_shared gate, custom column names."""
+    from archive_query_log_spark.operators.multimodal import (
+        frame_overlap_pairs,
+    )
+
+    # v1/v2 share sigs 10,11; v1/v3 share only 10; v2 carries a duplicated
+    # (id,sig) row that must count once; v4 contributes a NULL sig only
+    rows = [
+        ("v1", 10), ("v1", 11), ("v1", 12),
+        ("v2", 10), ("v2", 11), ("v2", 11), ("v2", 13),
+        ("v3", 10), ("v3", 14),
+        ("v4", None),
+    ]
+    df = spark.createDataFrame(rows, "clip string, ph long")
+    out = frame_overlap_pairs(
+        df, id_col="clip", sig_col="ph", min_shared=2, max_sig_df=100
+    )
+    got = {(r["id_a"], r["id_b"]): r["shared_frames"] for r in out.collect()}
+    assert got == {("v1", "v2"): 2}
+
+    # min_shared=1 surfaces the single-shared pairs too
+    out1 = frame_overlap_pairs(
+        df, id_col="clip", sig_col="ph", min_shared=1, max_sig_df=100
+    )
+    got1 = {(r["id_a"], r["id_b"]): r["shared_frames"] for r in out1.collect()}
+    assert got1 == {("v1", "v2"): 2, ("v1", "v3"): 1, ("v2", "v3"): 1}
+
+    # hot cap: sig 10 appears in 3 videos; max_sig_df=2 drops it, so the
+    # v1/v3 and v2/v3 links (which rode only sig 10) disappear
+    outc = frame_overlap_pairs(
+        df, id_col="clip", sig_col="ph", min_shared=1, max_sig_df=2
+    )
+    gotc = {(r["id_a"], r["id_b"]): r["shared_frames"] for r in outc.collect()}
+    assert gotc == {("v1", "v2"): 1}
