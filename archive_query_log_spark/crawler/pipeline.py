@@ -219,10 +219,18 @@ def run_round(
         salt_partitions=cfg.salt_partitions,
     ).drop("t0")
 
-    # fetch + validate; cache: used for fetches commit, seen update, metrics
-    results = fetch_and_validate(scheduled, images).withColumn(
-        "fetched_at",
-        F.to_timestamp(F.lit(cfg.now)) if cfg.now else F.current_timestamp(),
+    # fetch + validate; cache: used for fetches commit, seen update, metrics.
+    # `round` rides every fetch row as per-row lineage (which round produced
+    # this fetch) — the commit meta carries it too, but a row-level tag
+    # survives compaction/export and lets the digest oracle pin the full
+    # stateful run without reading manifests.
+    results = (
+        fetch_and_validate(scheduled, images)
+        .withColumn(
+            "fetched_at",
+            F.to_timestamp(F.lit(cfg.now)) if cfg.now else F.current_timestamp(),
+        )
+        .withColumn("round", F.lit(round_id))
     )
     results.cache()
 

@@ -2486,25 +2486,143 @@ def img_phash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b")
 
 
-def crawl_pipeline_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One full crawl round (seen-set + politeness + fetch + validate) on a
-    synthetic frontier; returns per-bucket lineage metrics."""
+# --- end-to-end crawl, hash-gated (the north-rule pipeline) ---------------
+# A 3-round stateful run whose re-poll clock moves between rounds (T2 − T1
+# > 4 weeks), so new fetches, seen-set filtering, budget spillover AND the
+# F2 refresh path are all in the frozen digest. Oracle: a pure-Python twin
+# of the whole pipeline (tools/make_crawl_goldens.py) — frontier synthesis,
+# SURT keys, md5 scoring, exact seen semantics, robots longest-prefix,
+# per-host waves, codec validation, per-(round, xxhash64-bucket) metrics —
+# frozen to data/crawl_goldens.json with a byte-identity regen test.
+
+_CRAWL_NOWS = (
+    "2024-02-01 00:00:00",
+    "2024-03-15 00:00:00",  # +43 days → round-0 fetches stale (4-week window)
+    "2024-03-15 00:00:00",
+)
+_CRAWL_STATE_CACHE: dict = {}
+
+
+@_lru_cache(maxsize=1)
+def _crawl_goldens() -> dict:
+    import json
+    from pathlib import Path
+
+    return json.loads(
+        (Path(__file__).resolve().parent / "data/crawl_goldens.json").read_text()
+    )
+
+
+def _crawl_3round_state(spark: SparkSession):
+    """Run (once per session) the exact goldens fixture: 3 rounds, budget 8,
+    1000-row frontier over 200 images, re-poll clock _CRAWL_NOWS."""
     import tempfile
 
     from archive_query_log_spark.crawler import pipeline, synth
 
+    state = _CRAWL_STATE_CACHE.get(spark)
+    if state is not None:
+        return state
     images = synth.synth_images(spark, 200, 8)
     frontier = synth.synth_frontier(spark, 1000, 200, 8)
     robots = synth.synth_robots(spark)
     root = tempfile.mkdtemp(prefix="entry_crawl_")
     state = pipeline.init_state(root, frontier)
-    pipeline.run_round(
-        spark, state, images, robots, pipeline.CrawlConfig(budget_waves=8), 0
+    for rid, now in enumerate(_CRAWL_NOWS):
+        pipeline.run_round(
+            spark,
+            state,
+            images,
+            robots,
+            pipeline.CrawlConfig(budget_waves=8, now=now),
+            rid,
+        )
+    _CRAWL_STATE_CACHE[spark] = state
+    return state
+
+
+def _crawl_digest_oracle() -> str:
+    vals = ",\n    ".join(
+        f"({rid}, '{cid}', '{uk}', '{host}', {wave}, {delay!r}, {refresh},"
+        f" {status}, {a}, {b}, {c})"
+        for rid, cid, uk, host, wave, delay, refresh, status, a, b, c in (
+            _crawl_goldens()["fetches"]
+        )
     )
-    return state.metrics.read(spark)
+    return f"""
+WITH g(round, id, url_key, host, wave, crawl_delay_s, is_refresh,
+       fetch_status, psnr_ok, caption_ok, phash_ok) AS (VALUES
+    {vals})
+SELECT CAST(round AS INT) AS round, id, url_key, host,
+       CAST(wave AS BIGINT) AS wave,
+       CAST(crawl_delay_s AS DOUBLE) AS crawl_delay_s, is_refresh,
+       CAST(fetch_status AS INT) AS fetch_status, psnr_ok, caption_ok,
+       phash_ok
+FROM g
+"""
 
 
-_QUERIES["crawl_pipeline_round"] = crawl_pipeline_round
+@_q("crawl_digest_3round", _crawl_digest_oracle())
+def crawl_digest_3round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every fetch of the 3-round stateful crawl (which round, which wave,
+    new-vs-refresh, validation verdicts) vs the pure-Python pipeline twin —
+    the end-to-end crawl ordering + worklist-state gate the north rule asks
+    for (reference: captures/__init__.py:163-197, config.py:157-167)."""
+    state = _crawl_3round_state(spark)
+    return state.fetches.read(spark).select(
+        "round",
+        "id",
+        "url_key",
+        "host",
+        "wave",
+        "crawl_delay_s",
+        "is_refresh",
+        "fetch_status",
+        "psnr_ok",
+        "caption_ok",
+        "phash_ok",
+    )
+
+
+def _crawl_seen_oracle() -> str:
+    vals = ",\n    ".join(f"('{k}')" for k in _crawl_goldens()["seen_keys"])
+    return f"WITH g(url_key) AS (VALUES\n    {vals})\nSELECT url_key FROM g"
+
+
+@_q("crawl_seen_set", _crawl_seen_oracle())
+def crawl_seen_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final URL-seen set of the 3-round crawl (the committed seen_keys
+    table, not a re-derivation from the fetch log) vs the twin — the
+    north rule's 'final URL-seen set exactly' requirement."""
+    state = _crawl_3round_state(spark)
+    return state.seen_keys.read(spark).select("url_key")
+
+
+def _crawl_metrics_oracle() -> str:
+    vals = ",\n    ".join(
+        f"({rid}, {b}, {fetched}, {ok}, {valid}, {mw})"
+        for rid, b, fetched, ok, valid, mw in _crawl_goldens()["metrics"]
+    )
+    return f"""
+WITH g(round, bucket, fetched, ok, valid, max_wave) AS (VALUES
+    {vals})
+SELECT CAST(round AS INT) AS round, CAST(bucket AS INT) AS bucket,
+       CAST(fetched AS BIGINT) AS fetched, CAST(ok AS BIGINT) AS ok,
+       CAST(valid AS BIGINT) AS valid, CAST(max_wave AS BIGINT) AS max_wave
+FROM g
+"""
+
+
+@_q("crawl_pipeline_round", _crawl_metrics_oracle())
+def crawl_pipeline_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(round, host-bucket) lineage metrics of the 3-round crawl vs the
+    twin's independent rollup (incl. an independent pure-Python XXH64 for
+    the bucket assignment) — formerly the last substantive rows-only entry,
+    now hash-gated."""
+    state = _crawl_3round_state(spark)
+    return state.metrics.read(spark).select(
+        "round", "bucket", "fetched", "ok", "valid", "max_wave"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3059,11 +3177,25 @@ def c18_sniff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GATE_ORDER: list[str] = [
     "flagship_crawl_schedule",
+    # round-6 window strengthening (5 in / 5 out, swapped-out entries stay
+    # oracle-backed past the window): the end-to-end stateful crawl is now
+    # hash-gated — crawl_digest_3round (every fetch of a 3-round run incl.
+    # the F2 refresh leg, vs the pure-Python pipeline twin), crawl_seen_set
+    # (the committed final URL-seen set), crawl_pipeline_round (per-round
+    # xxhash64-bucket lineage metrics) — plus the round-5 image/video
+    # near-dup entries img_phash_near_dup and video_near_dup. Out:
+    # f2_refetch_window (subsumed by the digest's refresh leg),
+    # j1_source_crossproduct (j1_real_providers is the stronger twin),
+    # dedup_simhash_pairs + dedup_lsh_candidate_pairs (pigeonhole/banded
+    # joins now covered by img_phash_near_dup + dedup_pipeline_e2e, and
+    # hamming_near_pairs is hypothesis-fuzzed against brute force),
+    # c4_clean_text (fixture-weakest of the C ops).
+    "crawl_digest_3round",
+    "crawl_seen_set",
+    "crawl_pipeline_round",
     "s1_worklist_scan",
-    "f2_refetch_window",
     "f7_row_validity",
     "a12_progress_ratio",
-    "j1_source_crossproduct",
     "j1_real_providers",
     "j2_multiway_join",
     "j3_asof_join",
@@ -3083,7 +3215,6 @@ _GATE_ORDER: list[str] = [
     "c18_encoding_waterfall",
     "c1_parse_url_params",
     "c17_url_key",
-    "c4_clean_text",
     "c6_timestamp14",
     "c10_unfurl",
     "q1_fulltext_match",
@@ -3096,9 +3227,9 @@ _GATE_ORDER: list[str] = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_cluster_assign",
-    "dedup_lsh_candidate_pairs",
-    "dedup_simhash_pairs",
     "dedup_pipeline_e2e",
+    "img_phash_near_dup",
+    "video_near_dup",
     "ann_near_dup_pairs",
     "ann_ivf_topk",
     "ann_bruteforce_topk",

@@ -7,7 +7,6 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entry_mod  # noqa: E402
 
 SQL_FREE = {
-    "crawl_pipeline_round",
     "a2_approx_distinct",
 }
 

@@ -118,3 +118,46 @@ def test_crash_resume_exactly_once(spark, fixtures):
     finally:
         shutil.rmtree(rootA, ignore_errors=True)
         shutil.rmtree(rootB, ignore_errors=True)
+
+
+def test_crawl_goldens_regenerate_byte_identically():
+    """data/crawl_goldens.json is exactly what the pure-Python pipeline
+    twin produces today — a drift in synth/codec/url_key/politeness math
+    fails here; a drift in the Spark plumbing fails the driver gate."""
+    import sys
+    from pathlib import Path
+
+    tools = Path(__file__).resolve().parent.parent / "tools"
+    sys.path.insert(0, str(tools))
+    try:
+        import make_crawl_goldens as gen
+    finally:
+        sys.path.remove(str(tools))
+    committed = gen.OUT_PATH.read_text()
+    assert committed == gen.render()
+
+
+def test_crawl_twin_xxh64_matches_spark(spark):
+    """The twin's independent XXH64 (bucket metrics) is bit-equal to
+    Spark's xxhash64 over the fixture's host strings plus length edges
+    (0, <4, <8, 31/32 stride boundaries, multi-byte UTF-8)."""
+    import sys
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    tools = Path(__file__).resolve().parent.parent / "tools"
+    sys.path.insert(0, str(tools))
+    try:
+        import make_crawl_goldens as gen
+    finally:
+        sys.path.remove(str(tools))
+    vals = [f"h{i:02d}.example.com" for i in range(50)] + [
+        "", "a", "abcd", "abcdefgh", "x" * 31, "y" * 32, "z" * 100, "héllo✓",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.xxhash64("s").alias("hx")
+    )
+    for r in df.collect():
+        u = gen.xxh64(r["s"].encode("utf-8"))
+        assert u - (1 << 64) * (u >= (1 << 63)) == r["hx"], r["s"]
