@@ -45,4 +45,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch space. On shared sandboxes the default /tmp is
+    # a real disk whose contention from co-tenants dominates run-to-run
+    # variance of shuffle-heavy jobs; pointing local.dir at a tmpfs (e.g.
+    # /dev/shm) removes that I/O from the measurement. On a production
+    # cluster this maps to fast local NVMe / ramdisk scratch per executor.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

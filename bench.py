@@ -44,6 +44,33 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 
+
+def _setup_scratch() -> None:
+    """Point Spark's shuffle/spill scratch (spark.local.dir, via the
+    SPARK_GRAFT_LOCAL_DIR hook in session.get_spark) at a tmpfs when one
+    with headroom exists. Measured A/B on this sandbox (round 6, 2M-URL
+    crawl leg): with scratch on the shared /tmp DISK the local[8] windows
+    swing ±20% (52k-74k urls/s) from co-tenant I/O contention; on
+    /dev/shm they sit within ±2% (77.4k/80.1k/78.6k) and the median is
+    ~30% higher — the shuffle-file I/O was BOTH the dominant variance
+    source and a real bottleneck. On a production cluster this maps to
+    per-executor NVMe/ramdisk scratch. Runs at import so the headline,
+    section benches, and every cold-JVM subprocess leg inherit it."""
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        return
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize > 16 * 2**30 and os.access(shm, os.W_OK):
+            os.environ["SPARK_GRAFT_LOCAL_DIR"] = os.path.join(
+                shm, "spark-graft-bench"
+            )
+    except OSError:
+        pass
+
+
+_setup_scratch()
+
 BENCH_QUERIES = [
     "flagship_crawl_schedule",
     "j2_multiway_join",
@@ -85,9 +112,16 @@ def _windowed(run, repeats: int | None = None):
 
 
 def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool,
-              n_runs: int = 2) -> dict:
+              n_runs: int = 2, stages: bool = False) -> dict:
     """The measured job. Runs in THIS process — call via subprocess for
-    cold-JVM comparability."""
+    cold-JVM comparability.
+
+    ``stages=True`` appends a stage-attribution pass AFTER the timed runs:
+    each pipeline stage (score → dedup → robots → schedule → fetch/decode)
+    is timed in isolation from its persisted parent, so the stage that
+    loses scaling efficiency between parallelism levels is NAMED in the
+    bench record instead of inferred. The attribution pass never touches
+    the headline timings (separate executions, cache dropped after)."""
     from pyspark.sql import functions as F
 
     from archive_query_log_spark.crawler import synth
@@ -106,8 +140,8 @@ def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool,
     frontier.count()
     robots = synth.synth_robots(spark)
 
-    def job(budget: int | None, pf: bool):
-        cand = frontier.where(
+    def _cand():
+        return frontier.where(
             (F.col("status_code") == 200) & (F.octet_length("url") <= 32766)
         ).withColumn(
             "score",
@@ -115,24 +149,72 @@ def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool,
                 F.col("archive.priority"), F.col("provider.priority"), F.col("id")
             ),
         )
-        cand = seen_set.first_seen_in_batch(cand, "url_key", "ts")
-        allowed = politeness.apply_robots(cand, robots, "url", "host")
+
+    def _sched_of(allowed, budget):
         # salted even at an unbounded budget: phase 1 spreads the hot host's
         # sort across (host,salt) groups — measured ~2× faster than the
-        # single-task host window at local[8]
-        sched = politeness.schedule(
-            allowed.withColumn("t0", F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
-            budget_waves=budget,
-            salt_partitions=8,
-        )
+        # single-task host window at local[8].
         # narrow to the fetch-log columns before the Arrow boundary — the
         # frontier's wide struct columns stay out of the fetch stage
-        sched = sched.select(
-            "id", "image_id", "url_key", "host", "wave", "dispatch_ts"
-        )
+        return politeness.schedule(
+            allowed.withColumn(
+                "t0", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            ),
+            budget_waves=budget,
+            salt_partitions=8,
+        ).select("id", "image_id", "url_key", "host", "wave", "dispatch_ts")
+
+    def job(budget: int | None, pf: bool):
+        cand = seen_set.first_seen_in_batch(_cand(), "url_key", "ts")
+        allowed = politeness.apply_robots(cand, robots, "url", "host")
         return fetch_and_validate(
-            sched, images, per_fetch=pf, broadcast_images=True
+            _sched_of(allowed, budget), images, per_fetch=pf,
+            broadcast_images=True,
         )
+
+    def staged_times(budget: int | None, pf: bool) -> dict[str, float]:
+        """Stage-local wall times: every stage runs from its PERSISTED
+        parent, so t(stage) excludes upstream recompute; the score stage is
+        forced through a hash agg (a bare count would let Catalyst prune
+        the score expression)."""
+        out: dict[str, float] = {}
+
+        def timed(name, df, force):
+            t0 = time.perf_counter()
+            force(df)
+            out[name] = round(time.perf_counter() - t0, 3)
+            return df
+
+        cand = timed(
+            "score",
+            _cand().persist(),
+            lambda d: d.agg(
+                F.sum(F.crc32(F.col("score").cast("string")))
+            ).collect(),
+        )
+        ded = timed(
+            "dedup",
+            seen_set.first_seen_in_batch(cand, "url_key", "ts").persist(),
+            lambda d: d.count(),
+        )
+        alw = timed(
+            "robots",
+            politeness.apply_robots(ded, robots, "url", "host").persist(),
+            lambda d: d.count(),
+        )
+        sched = timed(
+            "schedule", _sched_of(alw, budget).persist(), lambda d: d.count()
+        )
+        timed(
+            "fetch_decode",
+            fetch_and_validate(
+                sched, images, per_fetch=pf, broadcast_images=True
+            ),
+            lambda d: d.count(),
+        )
+        for df in (cand, ded, alw, sched):
+            df.unpersist()
+        return out
 
     # full-size warm-up run (JIT/codegen, python workers, broadcast), then
     # n_runs steady-state runs — this sandbox VM shows ±30% run-to-run
@@ -147,24 +229,29 @@ def crawl_job(master: str, n_frontier: int, n_images: int, per_fetch: bool,
         t0 = time.perf_counter()
         n = job(10_000_000, per_fetch).count()
         times.append(time.perf_counter() - t0)
+    stages_sec = staged_times(10_000_000, per_fetch) if stages else None
     spark.stop()
     best = min(times)
-    return {
+    out = {
         "urls": n,
         "sec": round(best, 3),
         "urls_per_sec": round(n / best, 1),
         "urls_per_sec_median": round(n / statistics.median(times), 1),
         "windows_sec": [round(t, 3) for t in times],
     }
+    if stages_sec is not None:
+        out["stages_sec"] = stages_sec
+    return out
 
 
 def crawl_subprocess(master: str, n_frontier: int, n_images: int,
-                     per_fetch: bool, n_runs: int = 2) -> dict:
+                     per_fetch: bool, n_runs: int = 2,
+                     stages: bool = False) -> dict:
     """Cold-JVM run of crawl_job in a fresh process."""
     cmd = [
         sys.executable, os.path.abspath(__file__), "--crawl-job", master,
         str(n_frontier), str(n_images), "1" if per_fetch else "0",
-        str(n_runs),
+        str(n_runs), "1" if stages else "0",
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=1800,
@@ -485,8 +572,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-job":
         master, nf, ni, pf = sys.argv[2:6]
         n_runs = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+        stages = len(sys.argv) > 7 and sys.argv[7] == "1"
         print(json.dumps(crawl_job(master, int(nf), int(ni), pf == "1",
-                                   n_runs=n_runs)))
+                                   n_runs=n_runs, stages=stages)))
         return
 
     sf = _sf_of(SF_DIR)
@@ -513,12 +601,23 @@ def main():
         # estimator; both best-of and median-of windows are reported.
         n_sc = n_frontier
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPEATS", "3"))
+        stage_attr = os.environ.get("SPARK_GRAFT_BENCH_STAGES", "1") == "1"
         t2s, t8s, t32s = [], [], []
         for _attempt in range(repeats):
-            t2s.append(crawl_subprocess("local[2]", n_sc, n_sc // 10, True, 1))
-            t8s.append(crawl_subprocess("local[8]", n_sc, n_sc // 10, True, 1))
+            t2s.append(
+                crawl_subprocess(
+                    "local[2]", n_sc, n_sc // 10, True, 1, stages=stage_attr
+                )
+            )
+            t8s.append(
+                crawl_subprocess(
+                    "local[8]", n_sc, n_sc // 10, True, 1, stages=stage_attr
+                )
+            )
             t32s.append(
-                crawl_subprocess("local[32]", n_sc, n_sc // 10, True, 1)
+                crawl_subprocess(
+                    "local[32]", n_sc, n_sc // 10, True, 1, stages=stage_attr
+                )
             )
         best2, best8, best32 = (
             max(r["urls_per_sec"] for r in leg) for leg in (t2s, t8s, t32s)
@@ -526,6 +625,29 @@ def main():
         med2, med8, med32 = (
             statistics.median(r["urls_per_sec"] for r in leg)
             for leg in (t2s, t8s, t32s)
+        )
+
+        def _stage_median(leg: list[dict]) -> dict[str, float] | None:
+            runs = [r["stages_sec"] for r in leg if "stages_sec" in r]
+            if not runs:
+                return None
+            return {
+                k: round(statistics.median(r[k] for r in runs), 3)
+                for k in runs[0]
+            }
+
+        stages2, stages8 = _stage_median(t2s), _stage_median(t8s)
+        # per-stage N→4N efficiency from the attribution pass: for wall
+        # time, eff = t(2 cores) / (4 · t(8 cores)) — the stage(s) that
+        # drag the end-to-end gate below 0.8 are named right here
+        stage_eff = (
+            {
+                k: round(stages2[k] / (4.0 * stages8[k]), 3)
+                for k in stages2
+                if stages8.get(k)
+            }
+            if stages2 and stages8
+            else None
         )
         scaling = {
             "n_frontier": n_sc,
@@ -545,11 +667,29 @@ def main():
             "method": (
                 "same job, fresh JVM subprocesses, identical partitioning;"
                 f" all 3 legs over {repeats} fixed interleaved windows"
-                " (no adaptive stop); best-of and median-of both reported"
+                " (no adaptive stop); best-of and median-of both reported;"
+                " stage attribution per window (stage-local times from"
+                " persisted parents, separate from the headline timings)"
             ),
             "t2_windows": [r["urls_per_sec"] for r in t2s],
             "t8_windows": [r["urls_per_sec"] for r in t8s],
             "t32_windows": [r["urls_per_sec"] for r in t32s],
+            # every window's wall seconds (variance attribution needs the
+            # raw times, not just the derived rates)
+            "t2_windows_sec": [r["sec"] for r in t2s],
+            "t8_windows_sec": [r["sec"] for r in t8s],
+            "t32_windows_sec": [r["sec"] for r in t32s],
+            "stages_sec_median": {
+                "t2": stages2,
+                "t8": stages8,
+                "t32": _stage_median(t32s),
+            },
+            "stages_sec_windows": {
+                "t2": [r.get("stages_sec") for r in t2s],
+                "t8": [r.get("stages_sec") for r in t8s],
+                "t32": [r.get("stages_sec") for r in t32s],
+            },
+            "stage_efficiency_8_vs_4x2": stage_eff,
         }
 
     # headline: best t32 window when the scaling trio ran at the headline
@@ -560,6 +700,7 @@ def main():
             main_run,
             urls_per_sec_median=med32,
             windows_urls_per_sec=scaling["t32_windows"],
+            windows_sec=scaling["t32_windows_sec"],
         )
     else:
         main_run = crawl_subprocess(
@@ -640,6 +781,8 @@ def main():
                     "efficiency_8_vs_4x2", "efficiency_8_vs_4x2_median",
                     "efficiency_32_vs_4x8", "efficiency_32_vs_4x8_median",
                     "t2_windows", "t8_windows", "t32_windows",
+                    "t2_windows_sec", "t8_windows_sec", "t32_windows_sec",
+                    "stages_sec_median", "stage_efficiency_8_vs_4x2",
                 )
             }
         ),
