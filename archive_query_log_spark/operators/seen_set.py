@@ -156,41 +156,79 @@ def bloom_probe(
 ) -> DataFrame:
     """Adds ``maybe_seen`` (bool). False ⇒ definitely new (no false negatives).
 
-    The shard table is ~n_buckets rows of ≤ MBs of bits → broadcast by
-    default; at 10^10 keys switch to a bucket-co-partitioned join
-    (broadcast_shards=False) so each executor holds only its buckets.
+    The bitmap blobs never ride per-row: at 10M seen keys a shard bitmap
+    is ~0.5 MB, and a join-then-probe layout (the pre-round-6
+    implementation) duplicated each bucket's bitmap onto EVERY batch row
+    crossing the Arrow boundary — ~1 TB of Arrow traffic per 2M-row wave,
+    found by the 10M-URL soak (filtered_new was 464 s; small fixtures
+    never showed it because their bitmaps are bytes, not MBs).
+
+    - ``broadcast_shards=True``: the shard table (n_buckets rows) is
+      collected once and shipped as a Spark BROADCAST VARIABLE; probing is
+      a map-only mapInPandas over JVM-side hashes — zero shuffle of the
+      batch, each executor deserializes each bitmap once.
+    - ``broadcast_shards=False`` (when the full shard set outgrows a
+      broadcast at 10^10 keys): bucket-COGROUPED applyInPandas — batch and
+      shards co-partitioned on bucket, each bitmap crossing the Arrow
+      boundary once per group, not once per row.
     """
     n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     hashed = with_hashes(batch, key_col, n_buckets)
-    s = F.broadcast(shards) if broadcast_shards else shards
-    joined = hashed.join(s, on="bucket", how="left")
+    keep = [f for f in hashed.schema.fields if f.name not in ("_h1", "_h2")]
+    keep_names = [f.name for f in keep]
+    out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
 
-    def probe(it):
-        for pdf in it:
-            pdf = pdf.reset_index(drop=True)
-            maybe = np.zeros(len(pdf), dtype=bool)
-            notna = pdf["bits"].notna()
-            if notna.any():
-                # one vectorized bit-test per shard present in this batch
-                for _, grp in pdf[notna].groupby("bucket"):
-                    bits = np.frombuffer(grp["bits"].iloc[0], dtype=np.uint8)
-                    m, k = int(grp["m"].iloc[0]), int(grp["k"].iloc[0])
+    if broadcast_shards:
+        shard_map = {
+            int(r["bucket"]): (bytes(r["bits"]), int(r["m"]), int(r["k"]))
+            for r in shards.select("bucket", "bits", "m", "k").collect()
+        }
+        bc = batch.sparkSession.sparkContext.broadcast(shard_map)
+
+        def probe(it):
+            sm = bc.value
+            for pdf in it:
+                pdf = pdf.reset_index(drop=True)
+                maybe = np.zeros(len(pdf), dtype=bool)
+                # one vectorized bit-test per bucket present in this batch
+                for b, grp in pdf.groupby("bucket"):
+                    ent = sm.get(int(b))
+                    if ent is None:
+                        continue
+                    buf, m, k = ent
+                    bits = np.frombuffer(buf, dtype=np.uint8)
                     pos = _bloom_positions(
                         grp["_h1"].to_numpy(), grp["_h2"].to_numpy(), k, m
                     )
                     hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
                     maybe[grp.index.to_numpy()] = hit.all(axis=1)
-            out = pdf.drop(columns=["bits", "m", "k", "n", "nb", "_h1", "_h2"])
-            out["maybe_seen"] = maybe
-            yield out
+                out = pdf[keep_names].copy()
+                out["maybe_seen"] = maybe
+                yield out
 
-    keep = [
-        f
-        for f in joined.schema.fields
-        if f.name not in ("bits", "m", "k", "n", "nb", "_h1", "_h2")
-    ]
-    out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
-    return joined.mapInPandas(probe, out_schema)
+        return hashed.mapInPandas(probe, out_schema)
+
+    def probe_group(batch_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        batch_pdf = batch_pdf.reset_index(drop=True)
+        maybe = np.zeros(len(batch_pdf), dtype=bool)
+        if len(shard_pdf) and len(batch_pdf):
+            bits = np.frombuffer(shard_pdf["bits"].iloc[0], dtype=np.uint8)
+            m, k = int(shard_pdf["m"].iloc[0]), int(shard_pdf["k"].iloc[0])
+            pos = _bloom_positions(
+                batch_pdf["_h1"].to_numpy(), batch_pdf["_h2"].to_numpy(), k, m
+            )
+            maybe = (
+                (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+            ).all(axis=1)
+        out = batch_pdf[keep_names].copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        hashed.groupBy("bucket")
+        .cogroup(shards.groupBy("bucket"))
+        .applyInPandas(probe_group, out_schema)
+    )
 
 
 def update_bloom_shards(
@@ -424,35 +462,41 @@ def cuckoo_probe(
     key_col: str = "url_key",
     n_buckets: int | None = None,
 ) -> DataFrame:
-    """Adds ``maybe_seen``; zero false negatives, same contract as Bloom."""
+    """Adds ``maybe_seen``; zero false negatives, same contract as Bloom.
+
+    Same blob discipline as ``bloom_probe``: filter tables ride a Spark
+    broadcast variable, never per-row through a join (a 10M-key cuckoo
+    table is ~1 MB/bucket — joined per-row it would cross the Arrow
+    boundary once per batch row)."""
     n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     hashed = with_hashes(batch, key_col, n_buckets)
-    joined = hashed.join(F.broadcast(shards), on="bucket", how="left")
+    keep = [f for f in hashed.schema.fields if f.name not in ("_h1", "_h2")]
+    keep_names = [f.name for f in keep]
+    out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
+    shard_map = {
+        int(r["bucket"]): (bytes(r["bits"]), int(r["m"]))
+        for r in shards.select("bucket", "bits", "m").collect()
+    }
+    bc = batch.sparkSession.sparkContext.broadcast(shard_map)
 
     def probe(it):
+        sm = bc.value
         for pdf in it:
             pdf = pdf.reset_index(drop=True)
             maybe = np.zeros(len(pdf), dtype=bool)
-            notna = pdf["bits"].notna()
-            if notna.any():
-                for _, grp in pdf[notna].groupby("bucket"):
-                    shard = CuckooShard.from_bytes(
-                        grp["bits"].iloc[0], int(grp["m"].iloc[0])
-                    )
-                    maybe[grp.index.to_numpy()] = shard.contains_many(
-                        grp["_h2"].to_numpy()
-                    )
-            out = pdf.drop(columns=["bits", "m", "k", "n", "nb", "_h1", "_h2"])
+            for b, grp in pdf.groupby("bucket"):
+                ent = sm.get(int(b))
+                if ent is None:
+                    continue
+                shard = CuckooShard.from_bytes(ent[0], ent[1])
+                maybe[grp.index.to_numpy()] = shard.contains_many(
+                    grp["_h2"].to_numpy()
+                )
+            out = pdf[keep_names].copy()
             out["maybe_seen"] = maybe
             yield out
 
-    keep = [
-        f
-        for f in joined.schema.fields
-        if f.name not in ("bits", "m", "k", "n", "nb", "_h1", "_h2")
-    ]
-    out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
-    return joined.mapInPandas(probe, out_schema)
+    return hashed.mapInPandas(probe, out_schema)
 
 
 def cuckoo_delete_keys(
@@ -499,15 +543,24 @@ def filtered_new(
     shards: DataFrame | None,
     key_col: str = "url_key",
     n_buckets: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """The scale path: Bloom pre-filter, exact anti-join only on maybe-seen.
 
     Result is provably identical to ``exact_new`` (no false negatives; false
     positives re-checked exactly).
-    """
+
+    ``checkpoint=True`` (default) localCheckpoints the probed batch before
+    splitting it into the definitely-new / suspect branches: both branches
+    of the union would otherwise re-execute the probe AND its whole
+    upstream lineage (in the crawl round: the fetch-log anti-join, scoring
+    and the first-seen window). Pass False only when ``batch`` is already
+    materialized."""
     if shards is None or seen is None:
         return exact_new(batch, seen, key_col)
     probed = bloom_probe(batch, shards, key_col, n_buckets)
+    if checkpoint:
+        probed = probed.localCheckpoint()
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen", "bucket")
     confirmed_new = exact_new(suspects, seen, key_col)

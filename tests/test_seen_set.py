@@ -72,3 +72,33 @@ def test_bloom_probe_no_false_negatives(spark):
     probed = seen_set.bloom_probe(keys, shards, "url_key")
     n_missed = probed.where(~F.col("maybe_seen")).count()
     assert n_missed == 0  # every inserted key must probe positive
+
+
+def test_bloom_probe_partitioned_path_matches_broadcast(spark):
+    """broadcast_shards=False (bucket-cogrouped applyInPandas, the
+    10^10-key layout where the shard set outgrows a broadcast) returns
+    exactly the broadcast path's verdicts."""
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(500)], "url_key string"
+    )
+    probe_in = spark.createDataFrame(
+        [(f"k{i}",) for i in range(300, 800)], "url_key string"
+    ).repartition(7)
+    shards = seen_set.build_bloom_shards(
+        keys, "url_key", seen_set.BloomConfig(n_buckets=8)
+    )
+    a = {
+        (r["url_key"], r["maybe_seen"])
+        for r in seen_set.bloom_probe(
+            probe_in, shards, "url_key", broadcast_shards=True
+        ).collect()
+    }
+    b = {
+        (r["url_key"], r["maybe_seen"])
+        for r in seen_set.bloom_probe(
+            probe_in, shards, "url_key", broadcast_shards=False
+        ).collect()
+    }
+    assert a == b and len(a) == 500
+    # members are always flagged (no false negatives) on both paths
+    assert all(ms for k, ms in a if int(k[1:]) < 500)
