@@ -461,42 +461,65 @@ def cuckoo_probe(
     shards: DataFrame,
     key_col: str = "url_key",
     n_buckets: int | None = None,
+    broadcast_shards: bool = True,
 ) -> DataFrame:
     """Adds ``maybe_seen``; zero false negatives, same contract as Bloom.
 
     Same blob discipline as ``bloom_probe``: filter tables ride a Spark
     broadcast variable, never per-row through a join (a 10M-key cuckoo
     table is ~1 MB/bucket — joined per-row it would cross the Arrow
-    boundary once per batch row)."""
+    boundary once per batch row). ``broadcast_shards=False`` is the
+    10^10-key layout (~26 GB of fingerprint tables outgrow a broadcast):
+    bucket-cogrouped applyInPandas, one table per group."""
     n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     hashed = with_hashes(batch, key_col, n_buckets)
     keep = [f for f in hashed.schema.fields if f.name not in ("_h1", "_h2")]
     keep_names = [f.name for f in keep]
     out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
-    shard_map = {
-        int(r["bucket"]): (bytes(r["bits"]), int(r["m"]))
-        for r in shards.select("bucket", "bits", "m").collect()
-    }
-    bc = batch.sparkSession.sparkContext.broadcast(shard_map)
 
-    def probe(it):
-        sm = bc.value
-        for pdf in it:
-            pdf = pdf.reset_index(drop=True)
-            maybe = np.zeros(len(pdf), dtype=bool)
-            for b, grp in pdf.groupby("bucket"):
-                ent = sm.get(int(b))
-                if ent is None:
-                    continue
-                shard = CuckooShard.from_bytes(ent[0], ent[1])
-                maybe[grp.index.to_numpy()] = shard.contains_many(
-                    grp["_h2"].to_numpy()
-                )
-            out = pdf[keep_names].copy()
-            out["maybe_seen"] = maybe
-            yield out
+    if broadcast_shards:
+        shard_map = {
+            int(r["bucket"]): (bytes(r["bits"]), int(r["m"]))
+            for r in shards.select("bucket", "bits", "m").collect()
+        }
+        bc = batch.sparkSession.sparkContext.broadcast(shard_map)
 
-    return hashed.mapInPandas(probe, out_schema)
+        def probe(it):
+            sm = bc.value
+            for pdf in it:
+                pdf = pdf.reset_index(drop=True)
+                maybe = np.zeros(len(pdf), dtype=bool)
+                for b, grp in pdf.groupby("bucket"):
+                    ent = sm.get(int(b))
+                    if ent is None:
+                        continue
+                    shard = CuckooShard.from_bytes(ent[0], ent[1])
+                    maybe[grp.index.to_numpy()] = shard.contains_many(
+                        grp["_h2"].to_numpy()
+                    )
+                out = pdf[keep_names].copy()
+                out["maybe_seen"] = maybe
+                yield out
+
+        return hashed.mapInPandas(probe, out_schema)
+
+    def probe_group(batch_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
+        batch_pdf = batch_pdf.reset_index(drop=True)
+        maybe = np.zeros(len(batch_pdf), dtype=bool)
+        if len(shard_pdf) and len(batch_pdf):
+            shard = CuckooShard.from_bytes(
+                shard_pdf["bits"].iloc[0], int(shard_pdf["m"].iloc[0])
+            )
+            maybe = shard.contains_many(batch_pdf["_h2"].to_numpy())
+        out = batch_pdf[keep_names].copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        hashed.groupBy("bucket")
+        .cogroup(shards.groupBy("bucket"))
+        .applyInPandas(probe_group, out_schema)
+    )
 
 
 def cuckoo_delete_keys(

@@ -65,6 +65,33 @@ def test_cuckoo_probe_and_delete_dataframe(spark):
     assert kept_probe.where(~F.col("maybe_seen")).count() == 0
 
 
+def test_cuckoo_probe_partitioned_path_matches_broadcast(spark):
+    """broadcast_shards=False (bucket-cogrouped, the 10^10-key layout where
+    26 GB of fingerprint tables outgrow a broadcast) returns exactly the
+    broadcast path's verdicts — same parity pin as the Bloom twin."""
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(400)], "url_key string"
+    )
+    probe_in = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200, 700)], "url_key string"
+    ).repartition(5)
+    shards = seen_set.build_cuckoo_shards(keys, "url_key", n_buckets=8)
+    a = {
+        (r["url_key"], r["maybe_seen"])
+        for r in seen_set.cuckoo_probe(
+            probe_in, shards, "url_key", broadcast_shards=True
+        ).collect()
+    }
+    b = {
+        (r["url_key"], r["maybe_seen"])
+        for r in seen_set.cuckoo_probe(
+            probe_in, shards, "url_key", broadcast_shards=False
+        ).collect()
+    }
+    assert a == b and len(a) == 500
+    assert all(ms for k, ms in a if int(k[1:]) < 400)  # no false negatives
+
+
 def test_approx_distinct_tolerance(spark):
     ev = spark.range(50_000).select(
         (F.col("id") % 9173).alias("u")
