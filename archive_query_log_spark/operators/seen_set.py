@@ -258,64 +258,66 @@ def update_bloom_shards(
     hashed = with_hashes(
         new_keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets
     )
-    adds = hashed.groupBy("bucket").agg(
-        F.collect_list(
-            F.struct(F.col("_h1").alias("h1"), F.col("_h2").alias("h2"))
-        ).alias("_adds")
+    # Which buckets need a rebuild is decidable from METADATA alone
+    # (per-bucket add counts vs design capacity) — no bitmap blob and no
+    # Python worker is touched to decide, and the adds shuffle runs ONCE
+    # (the pre-round-6 layout collect_list'ed every bucket's adds into a
+    # single array row — a giant-row hazard at 10^8 new keys/round — and
+    # double-executed the blob-producing map to read its rebuild flags).
+    counts = hashed.groupBy("bucket").agg(F.count("*").alias("n_add"))
+    meta = (
+        shards.select("bucket", "m", "n")
+        .join(counts, on="bucket", how="full_outer")
     )
-    joined = shards.join(adds, on="bucket", how="full_outer")
-    bits_per_key, n_buckets = cfg.bits_per_key, cfg.n_buckets
-
-    out_schema = StructType(
-        list(SHARD_SCHEMA.fields)
-        + [StructField("needs_rebuild", BooleanType(), False)]
-    )
-
-    def upd(it):
-        for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                bucket = int(r["bucket"])
-                adds_list = r["_adds"]
-                if r["bits"] is None:
-                    # brand-new bucket → needs a real build
-                    rows.append((bucket, b"", 0, 0, 0, n_buckets, True))
-                    continue
-                if adds_list is None or len(adds_list) == 0:
-                    rows.append(
-                        (bucket, r["bits"], int(r["m"]), int(r["k"]),
-                         int(r["n"]), n_buckets, False)
-                    )
-                    continue
-                m, k, n = int(r["m"]), int(r["k"]), int(r["n"])
-                n_total = n + len(adds_list)
-                if n_total * bits_per_key > m:
-                    rows.append((bucket, b"", 0, 0, 0, n_buckets, True))
-                    continue
-                bits = np.frombuffer(r["bits"], dtype=np.uint8).copy()
-                h1 = np.array([a["h1"] for a in adds_list], dtype=np.int64)
-                h2 = np.array([a["h2"] for a in adds_list], dtype=np.int64)
-                pos = _bloom_positions(h1, h2, k, m).ravel()
-                np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
-                rows.append(
-                    (bucket, bits.tobytes(), m, k, n_total, n_buckets, False)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["bucket", "bits", "m", "k", "n", "nb", "needs_rebuild"],
-            )
-
-    # `updated` is a tiny table (one row per bucket); computing it twice
-    # (rebuild-list collect + kept branch) is cheaper than pinning cached
-    # bitmap blobs in executor storage every round
-    updated = joined.mapInPandas(upd, out_schema)
     rebuild = [
-        r["bucket"]
-        for r in updated.where("needs_rebuild").select("bucket").collect()
+        int(r["bucket"])
+        for r in meta.where(
+            F.col("m").isNull()  # brand-new bucket
+            | (
+                (F.col("n") + F.coalesce(F.col("n_add"), F.lit(0)))
+                * cfg.bits_per_key
+                > F.col("m")
+            )
+        )
+        .select("bucket")
+        .collect()
     ]
-    kept = updated.where(~F.col("needs_rebuild")).drop("needs_rebuild")
+    kept_shards = shards
+    kept_adds = hashed.select("bucket", "_h1", "_h2")
+    if rebuild:
+        kept_shards = kept_shards.where(~F.col("bucket").isin(rebuild))
+        kept_adds = kept_adds.where(~F.col("bucket").isin(rebuild))
+
+    def or_update(shard_pdf: pd.DataFrame, adds_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(shard_pdf):  # adds-only bucket → handled by the rebuild leg
+            return pd.DataFrame(columns=[f.name for f in SHARD_SCHEMA.fields])
+        r = shard_pdf.iloc[0]
+        bits, m, k, n = r["bits"], int(r["m"]), int(r["k"]), int(r["n"])
+        if len(adds_pdf):
+            arr = np.frombuffer(bits, dtype=np.uint8).copy()
+            pos = _bloom_positions(
+                adds_pdf["_h1"].to_numpy(), adds_pdf["_h2"].to_numpy(), k, m
+            ).ravel()
+            np.bitwise_or.at(arr, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+            bits, n = arr.tobytes(), n + len(adds_pdf)
+        return pd.DataFrame(
+            {
+                "bucket": [int(r["bucket"])],
+                "bits": [bits],
+                "m": [m],
+                "k": [k],
+                "n": [n],
+                "nb": [int(r["nb"])],
+            }
+        )
+
+    updated = (
+        kept_shards.groupBy("bucket")
+        .cogroup(kept_adds.groupBy("bucket"))
+        .applyInPandas(or_update, SHARD_SCHEMA)
+    )
     if not rebuild:
-        return kept
+        return updated
     # per-bucket rebuild through the SAME build closure as fresh builds
     rb_keys = with_hashes(
         all_keys.select(key_col).dropDuplicates([key_col]), key_col, cfg.n_buckets
@@ -325,7 +327,7 @@ def update_bloom_shards(
         return _bloom_build_pdf(pdf, cfg)
 
     rebuilt = rb_keys.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
-    return kept.unionByName(rebuilt)
+    return updated.unionByName(rebuilt)
 
 
 # ---------------------------------------------------------------------------
