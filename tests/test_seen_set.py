@@ -66,6 +66,27 @@ def test_incremental_shard_update_equals_rebuild(spark):
     assert fp_inc <= max(10, 3 * max(fp_full, 1)) and fp_inc < 0.05 * n_other
 
 
+def test_incremental_update_handles_brand_new_buckets(spark):
+    """A bucket present only on the adds side (no existing shard) must be
+    routed to the rebuild leg — under the cogrouped layout such groups
+    arrive with an empty shard frame and would otherwise be dropped."""
+    cfg = seen_set.BloomConfig(n_buckets=8)
+    keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(600)], "url_key string"
+    ).cache()
+    hashed = seen_set.with_hashes(keys, "url_key", cfg.n_buckets)
+    lo = hashed.where(F.col("bucket") < 4).select("url_key").cache()
+    hi = hashed.where(F.col("bucket") >= 4).select("url_key").cache()
+    assert lo.count() > 0 and hi.count() > 0
+    shards0 = seen_set.build_bloom_shards(lo, "url_key", cfg).cache()
+    assert shards0.count() <= 4  # only low buckets exist
+    shards1 = seen_set.update_bloom_shards(shards0, hi, keys, "url_key", cfg)
+    shards1.cache()
+    assert shards1.select("bucket").distinct().count() == 8
+    probed = seen_set.bloom_probe(keys, shards1, "url_key", cfg.n_buckets)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+
 def test_bloom_probe_no_false_negatives(spark):
     keys = synth.synth_frontier(spark, 1000, 200, 4).select("url_key").distinct()
     shards = seen_set.build_bloom_shards(keys, "url_key")
