@@ -147,32 +147,57 @@ def build_bloom_shards(
     return hashed.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
 
 
-def bloom_probe(
+# Auto layout cutover: broadcast the shard set while its total blob bytes
+# fit comfortably in driver + executor memory; beyond this, co-partition.
+_BROADCAST_SHARDS_MAX_BYTES = 256 << 20
+
+
+def _probe_with_layout(
     batch: DataFrame,
     shards: DataFrame,
-    key_col: str = "url_key",
-    n_buckets: int | None = None,
-    broadcast_shards: bool = True,
-) -> DataFrame:
-    """Adds ``maybe_seen`` (bool). False ⇒ definitely new (no false negatives).
+    key_col: str,
+    n_buckets: int | None,
+    broadcast_shards: bool | None,
+    meta_cols: tuple[str, ...],
+    kernel,
+    size_bytes_fn,
+):
+    """Shared layout machinery for the sharded-filter probes (Bloom and
+    cuckoo differ only in their per-bucket membership ``kernel``).
 
-    The bitmap blobs never ride per-row: at 10M seen keys a shard bitmap
+    The filter blobs never ride per-row: at 10M seen keys a shard bitmap
     is ~0.5 MB, and a join-then-probe layout (the pre-round-6
-    implementation) duplicated each bucket's bitmap onto EVERY batch row
+    implementation) duplicated each bucket's blob onto EVERY batch row
     crossing the Arrow boundary — ~1 TB of Arrow traffic per 2M-row wave,
     found by the 10M-URL soak (filtered_new was 464 s; small fixtures
     never showed it because their bitmaps are bytes, not MBs).
 
-    - ``broadcast_shards=True``: the shard table (n_buckets rows) is
-      collected once and shipped as a Spark BROADCAST VARIABLE; probing is
-      a map-only mapInPandas over JVM-side hashes — zero shuffle of the
-      batch, each executor deserializes each bitmap once.
-    - ``broadcast_shards=False`` (when the full shard set outgrows a
-      broadcast at 10^10 keys): bucket-COGROUPED applyInPandas — batch and
-      shards co-partitioned on bucket, each bitmap crossing the Arrow
-      boundary once per group, not once per row.
+    - broadcast layout: the shard table (n_buckets rows) is collected once
+      and shipped as a Spark BROADCAST VARIABLE; probing is a map-only
+      mapInPandas over JVM-side hashes — zero shuffle of the batch, each
+      executor deserializes each blob once. NOTE this collects (runs a
+      job) at plan-CONSTRUCTION time and probes that snapshot of the shard
+      table — the pipeline always probes pinned snapshot versions, so this
+      is the wanted semantics there; callers that mutate the shard table
+      between constructing and executing a probe plan must rebuild the
+      plan.
+    - cogrouped layout (when the shard set outgrows a broadcast at 10^10
+      keys): bucket-COGROUPED applyInPandas — batch and shards
+      co-partitioned on bucket, each blob crossing the Arrow boundary once
+      per group, not once per row.
+    - ``broadcast_shards=None`` (default) auto-selects: broadcast while
+      the summed blob bytes (from shard METADATA, a n_buckets-row agg)
+      stay under ``_BROADCAST_SHARDS_MAX_BYTES``.
+
+    Returns ``(probed_df, broadcast_handle_or_None)`` so callers that
+    materialize the result can unpersist the broadcast instead of leaving
+    cleanup to the GC→ContextCleaner chain (one leaked shard dict per
+    round adds up over a 10^4-round crawl).
     """
     n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
+    if broadcast_shards is None:
+        total = shards.agg(F.sum(size_bytes_fn()).alias("b")).first()["b"]
+        broadcast_shards = total is not None and int(total) <= _BROADCAST_SHARDS_MAX_BYTES
     hashed = with_hashes(batch, key_col, n_buckets)
     keep = [f for f in hashed.schema.fields if f.name not in ("_h1", "_h2")]
     keep_names = [f.name for f in keep]
@@ -180,8 +205,10 @@ def bloom_probe(
 
     if broadcast_shards:
         shard_map = {
-            int(r["bucket"]): (bytes(r["bits"]), int(r["m"]), int(r["k"]))
-            for r in shards.select("bucket", "bits", "m", "k").collect()
+            int(r["bucket"]): {
+                c: (bytes(r[c]) if c == "bits" else r[c]) for c in meta_cols
+            }
+            for r in shards.select("bucket", *meta_cols).collect()
         }
         bc = batch.sparkSession.sparkContext.broadcast(shard_map)
 
@@ -190,45 +217,74 @@ def bloom_probe(
             for pdf in it:
                 pdf = pdf.reset_index(drop=True)
                 maybe = np.zeros(len(pdf), dtype=bool)
-                # one vectorized bit-test per bucket present in this batch
+                # one vectorized membership test per bucket in this batch
                 for b, grp in pdf.groupby("bucket"):
                     ent = sm.get(int(b))
                     if ent is None:
                         continue
-                    buf, m, k = ent
-                    bits = np.frombuffer(buf, dtype=np.uint8)
-                    pos = _bloom_positions(
-                        grp["_h1"].to_numpy(), grp["_h2"].to_numpy(), k, m
+                    maybe[grp.index.to_numpy()] = kernel(
+                        ent, grp["_h1"].to_numpy(), grp["_h2"].to_numpy()
                     )
-                    hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
-                    maybe[grp.index.to_numpy()] = hit.all(axis=1)
                 out = pdf[keep_names].copy()
                 out["maybe_seen"] = maybe
                 yield out
 
-        return hashed.mapInPandas(probe, out_schema)
+        return hashed.mapInPandas(probe, out_schema), bc
 
     def probe_group(batch_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
         batch_pdf = batch_pdf.reset_index(drop=True)
         maybe = np.zeros(len(batch_pdf), dtype=bool)
         if len(shard_pdf) and len(batch_pdf):
-            bits = np.frombuffer(shard_pdf["bits"].iloc[0], dtype=np.uint8)
-            m, k = int(shard_pdf["m"].iloc[0]), int(shard_pdf["k"].iloc[0])
-            pos = _bloom_positions(
-                batch_pdf["_h1"].to_numpy(), batch_pdf["_h2"].to_numpy(), k, m
+            ent = {
+                c: (
+                    bytes(shard_pdf[c].iloc[0])
+                    if c == "bits"
+                    else shard_pdf[c].iloc[0]
+                )
+                for c in meta_cols
+            }
+            maybe = kernel(
+                ent, batch_pdf["_h1"].to_numpy(), batch_pdf["_h2"].to_numpy()
             )
-            maybe = (
-                (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
-            ).all(axis=1)
         out = batch_pdf[keep_names].copy()
         out["maybe_seen"] = maybe
         return out
 
-    return (
+    probed = (
         hashed.groupBy("bucket")
         .cogroup(shards.groupBy("bucket"))
         .applyInPandas(probe_group, out_schema)
     )
+    return probed, None
+
+
+def _bloom_kernel(ent: dict, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    bits = np.frombuffer(ent["bits"], dtype=np.uint8)
+    m, k = int(ent["m"]), int(ent["k"])
+    pos = _bloom_positions(h1, h2, k, m)
+    return ((bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0).all(axis=1)
+
+
+def _bloom_size_bytes():
+    # bloom bitmap is m bits -> m/8 stored bytes
+    return F.col("m") / F.lit(8)
+
+
+def bloom_probe(
+    batch: DataFrame,
+    shards: DataFrame,
+    key_col: str = "url_key",
+    n_buckets: int | None = None,
+    broadcast_shards: bool | None = None,
+) -> DataFrame:
+    """Adds ``maybe_seen`` (bool). False ⇒ definitely new (no false
+    negatives). Layouts, auto-selection, and the never-per-row blob rule:
+    see ``_probe_with_layout``."""
+    probed, _ = _probe_with_layout(
+        batch, shards, key_col, n_buckets, broadcast_shards,
+        ("bits", "m", "k"), _bloom_kernel, _bloom_size_bytes,
+    )
+    return probed
 
 
 def update_bloom_shards(
@@ -458,70 +514,31 @@ def build_cuckoo_shards(
     return hashed.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
 
 
+def _cuckoo_kernel(ent: dict, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    shard = CuckooShard.from_bytes(ent["bits"], int(ent["m"]))
+    return shard.contains_many(h2)
+
+
+def _cuckoo_size_bytes():
+    # cuckoo table is m buckets x 4 slots of 2-byte fingerprints
+    return F.col("m") * F.lit(_CK_SLOTS * 2)
+
+
 def cuckoo_probe(
     batch: DataFrame,
     shards: DataFrame,
     key_col: str = "url_key",
     n_buckets: int | None = None,
-    broadcast_shards: bool = True,
+    broadcast_shards: bool | None = None,
 ) -> DataFrame:
     """Adds ``maybe_seen``; zero false negatives, same contract as Bloom.
-
-    Same blob discipline as ``bloom_probe``: filter tables ride a Spark
-    broadcast variable, never per-row through a join (a 10M-key cuckoo
-    table is ~1 MB/bucket — joined per-row it would cross the Arrow
-    boundary once per batch row). ``broadcast_shards=False`` is the
-    10^10-key layout (~26 GB of fingerprint tables outgrow a broadcast):
-    bucket-cogrouped applyInPandas, one table per group."""
-    n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
-    hashed = with_hashes(batch, key_col, n_buckets)
-    keep = [f for f in hashed.schema.fields if f.name not in ("_h1", "_h2")]
-    keep_names = [f.name for f in keep]
-    out_schema = StructType(keep + [StructField("maybe_seen", BooleanType(), True)])
-
-    if broadcast_shards:
-        shard_map = {
-            int(r["bucket"]): (bytes(r["bits"]), int(r["m"]))
-            for r in shards.select("bucket", "bits", "m").collect()
-        }
-        bc = batch.sparkSession.sparkContext.broadcast(shard_map)
-
-        def probe(it):
-            sm = bc.value
-            for pdf in it:
-                pdf = pdf.reset_index(drop=True)
-                maybe = np.zeros(len(pdf), dtype=bool)
-                for b, grp in pdf.groupby("bucket"):
-                    ent = sm.get(int(b))
-                    if ent is None:
-                        continue
-                    shard = CuckooShard.from_bytes(ent[0], ent[1])
-                    maybe[grp.index.to_numpy()] = shard.contains_many(
-                        grp["_h2"].to_numpy()
-                    )
-                out = pdf[keep_names].copy()
-                out["maybe_seen"] = maybe
-                yield out
-
-        return hashed.mapInPandas(probe, out_schema)
-
-    def probe_group(batch_pdf: pd.DataFrame, shard_pdf: pd.DataFrame):
-        batch_pdf = batch_pdf.reset_index(drop=True)
-        maybe = np.zeros(len(batch_pdf), dtype=bool)
-        if len(shard_pdf) and len(batch_pdf):
-            shard = CuckooShard.from_bytes(
-                shard_pdf["bits"].iloc[0], int(shard_pdf["m"].iloc[0])
-            )
-            maybe = shard.contains_many(batch_pdf["_h2"].to_numpy())
-        out = batch_pdf[keep_names].copy()
-        out["maybe_seen"] = maybe
-        return out
-
-    return (
-        hashed.groupBy("bucket")
-        .cogroup(shards.groupBy("bucket"))
-        .applyInPandas(probe_group, out_schema)
+    Layouts and auto-selection: see ``_probe_with_layout`` (a 10^10-key
+    cuckoo set is ~26 GB - past the broadcast cutover)."""
+    probed, _ = _probe_with_layout(
+        batch, shards, key_col, n_buckets, broadcast_shards,
+        ("bits", "m"), _cuckoo_kernel, _cuckoo_size_bytes,
     )
+    return probed
 
 
 def cuckoo_delete_keys(
@@ -531,35 +548,43 @@ def cuckoo_delete_keys(
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Remove retracted keys from their shards (the Bloom-impossible op);
-    returns the updated shard table."""
+    returns the updated shard table.
+
+    Same cogrouped shape as ``update_bloom_shards``: deletions arrive as
+    plain rows (never a collect_list array — a 10^8-key retraction wave
+    would otherwise pack one giant array row per bucket) and each table
+    blob crosses the Arrow boundary once per group. Retractions hitting a
+    nonexistent bucket delete nothing (their group has no shard row)."""
     n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     hashed = with_hashes(
         retracted.select(key_col).dropDuplicates([key_col]), key_col, n_buckets
     ).select("bucket", "_h2")
-    joined = shards.join(
-        hashed.groupBy("bucket").agg(F.collect_list("_h2").alias("_dels")),
-        on="bucket",
-        how="left",
+
+    def apply_deletes(shard_pdf: pd.DataFrame, dels_pdf: pd.DataFrame):
+        if not len(shard_pdf):  # retraction against a bucket with no shard
+            return pd.DataFrame(columns=[f.name for f in SHARD_SCHEMA.fields])
+        r = shard_pdf.iloc[0]
+        buf, m = r["bits"], int(r["m"])
+        if len(dels_pdf):
+            shard = CuckooShard.from_bytes(buf, m)
+            shard.delete_many(dels_pdf["_h2"].to_numpy())
+            buf = shard.to_bytes()
+        return pd.DataFrame(
+            {
+                "bucket": [int(r["bucket"])],
+                "bits": [buf],
+                "m": [m],
+                "k": [int(r["k"])],
+                "n": [int(r["n"])],
+                "nb": [int(r["nb"])],
+            }
+        )
+
+    return (
+        shards.groupBy("bucket")
+        .cogroup(hashed.groupBy("bucket"))
+        .applyInPandas(apply_deletes, SHARD_SCHEMA)
     )
-
-    def apply_deletes(it):
-        for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                buf, m = r["bits"], int(r["m"])
-                if r["_dels"] is not None and len(r["_dels"]):
-                    shard = CuckooShard.from_bytes(buf, m)
-                    shard.delete_many(np.array(r["_dels"], dtype=np.int64))
-                    buf = shard.to_bytes()
-                rows.append(
-                    (int(r["bucket"]), buf, m, int(r["k"]), int(r["n"]),
-                     int(r["nb"]))
-                )
-            yield pd.DataFrame(
-                rows, columns=["bucket", "bits", "m", "k", "n", "nb"]
-            )
-
-    return joined.mapInPandas(apply_deletes, SHARD_SCHEMA)
 
 
 def filtered_new(
@@ -569,23 +594,33 @@ def filtered_new(
     key_col: str = "url_key",
     n_buckets: int | None = None,
     checkpoint: bool = True,
+    broadcast_shards: bool | None = None,
 ) -> DataFrame:
     """The scale path: Bloom pre-filter, exact anti-join only on maybe-seen.
 
     Result is provably identical to ``exact_new`` (no false negatives; false
-    positives re-checked exactly).
+    positives re-checked exactly). ``broadcast_shards`` passes through to
+    the probe (None = auto-select by shard size — the 10^10-key cogrouped
+    layout is reachable from the pipeline via this default).
 
     ``checkpoint=True`` (default) localCheckpoints the probed batch before
     splitting it into the definitely-new / suspect branches: both branches
     of the union would otherwise re-execute the probe AND its whole
     upstream lineage (in the crawl round: the fetch-log anti-join, scoring
-    and the first-seen window). Pass False only when ``batch`` is already
-    materialized."""
+    and the first-seen window). The checkpoint also lets the probe's shard
+    broadcast be released immediately (one leaked shard dict per round
+    would otherwise wait on GC→ContextCleaner over a 10^4-round crawl).
+    Pass False only when ``batch`` is already materialized."""
     if shards is None or seen is None:
         return exact_new(batch, seen, key_col)
-    probed = bloom_probe(batch, shards, key_col, n_buckets)
+    probed, bc = _probe_with_layout(
+        batch, shards, key_col, n_buckets, broadcast_shards,
+        ("bits", "m", "k"), _bloom_kernel, _bloom_size_bytes,
+    )
     if checkpoint:
         probed = probed.localCheckpoint()
+        if bc is not None:
+            bc.unpersist(blocking=False)
     definitely_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
     suspects = probed.where(F.col("maybe_seen")).drop("maybe_seen", "bucket")
     confirmed_new = exact_new(suspects, seen, key_col)

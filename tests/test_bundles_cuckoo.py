@@ -68,28 +68,39 @@ def test_cuckoo_probe_and_delete_dataframe(spark):
 def test_cuckoo_probe_partitioned_path_matches_broadcast(spark):
     """broadcast_shards=False (bucket-cogrouped, the 10^10-key layout where
     26 GB of fingerprint tables outgrow a broadcast) returns exactly the
-    broadcast path's verdicts — same parity pin as the Bloom twin."""
+    broadcast path's verdicts — same parity pin as the Bloom twin,
+    including rows whose bucket has NO shard (sparse state)."""
     keys = spark.createDataFrame(
         [(f"k{i}",) for i in range(400)], "url_key string"
     )
     probe_in = spark.createDataFrame(
         [(f"k{i}",) for i in range(200, 700)], "url_key string"
     ).repartition(5)
-    shards = seen_set.build_cuckoo_shards(keys, "url_key", n_buckets=8)
-    a = {
-        (r["url_key"], r["maybe_seen"])
-        for r in seen_set.cuckoo_probe(
-            probe_in, shards, "url_key", broadcast_shards=True
-        ).collect()
+    # sparse shard table: only buckets 0-3 of 8 exist
+    lo = (
+        seen_set.with_hashes(keys, "url_key", 8)
+        .where(F.col("bucket") < 4)
+        .select("url_key")
+        .cache()
+    )
+    shards = seen_set.build_cuckoo_shards(lo, "url_key", n_buckets=8)
+    lo_keys = {r["url_key"] for r in lo.collect()}
+    results = {}
+    for bs in (True, False, None):  # None = auto (selects broadcast here)
+        results[bs] = {
+            (r["url_key"], r["maybe_seen"])
+            for r in seen_set.cuckoo_probe(
+                probe_in, shards, "url_key", broadcast_shards=bs
+            ).collect()
+        }
+    assert results[True] == results[False] == results[None]
+    a = results[True]
+    assert len(a) == 500
+    assert all(ms for k, ms in a if k in lo_keys)  # no false negatives
+    missing_bucket = {
+        (k, ms) for k, ms in a if int(k[1:]) < 400 and k not in lo_keys
     }
-    b = {
-        (r["url_key"], r["maybe_seen"])
-        for r in seen_set.cuckoo_probe(
-            probe_in, shards, "url_key", broadcast_shards=False
-        ).collect()
-    }
-    assert a == b and len(a) == 500
-    assert all(ms for k, ms in a if int(k[1:]) < 400)  # no false negatives
+    assert missing_bucket and all(not ms for _, ms in missing_bucket)
 
 
 def test_approx_distinct_tolerance(spark):

@@ -98,28 +98,40 @@ def test_bloom_probe_no_false_negatives(spark):
 def test_bloom_probe_partitioned_path_matches_broadcast(spark):
     """broadcast_shards=False (bucket-cogrouped applyInPandas, the
     10^10-key layout where the shard set outgrows a broadcast) returns
-    exactly the broadcast path's verdicts."""
+    exactly the broadcast path's verdicts — including on rows whose bucket
+    has NO shard at all (sparse state: missing-bucket rows must read
+    maybe_seen=False on BOTH layouts, matching the old left-join)."""
     keys = spark.createDataFrame(
         [(f"k{i}",) for i in range(500)], "url_key string"
     )
     probe_in = spark.createDataFrame(
         [(f"k{i}",) for i in range(300, 800)], "url_key string"
     ).repartition(7)
-    shards = seen_set.build_bloom_shards(
-        keys, "url_key", seen_set.BloomConfig(n_buckets=8)
+    cfg = seen_set.BloomConfig(n_buckets=8)
+    # sparse shard table: only buckets 0-3 exist
+    lo = (
+        seen_set.with_hashes(keys, "url_key", cfg.n_buckets)
+        .where(F.col("bucket") < 4)
+        .select("url_key")
+        .cache()
     )
-    a = {
-        (r["url_key"], r["maybe_seen"])
-        for r in seen_set.bloom_probe(
-            probe_in, shards, "url_key", broadcast_shards=True
-        ).collect()
+    shards = seen_set.build_bloom_shards(lo, "url_key", cfg)
+    lo_keys = {r["url_key"] for r in lo.collect()}
+    results = {}
+    for bs in (True, False, None):  # None = auto (selects broadcast here)
+        results[bs] = {
+            (r["url_key"], r["maybe_seen"])
+            for r in seen_set.bloom_probe(
+                probe_in, shards, "url_key", broadcast_shards=bs
+            ).collect()
+        }
+    assert results[True] == results[False] == results[None]
+    a = results[True]
+    assert len(a) == 500
+    # inserted keys always flagged (no false negatives)
+    assert all(ms for k, ms in a if k in lo_keys)
+    # rows whose bucket has no shard are definitely-new on both layouts
+    missing_bucket = {
+        (k, ms) for k, ms in a if int(k[1:]) < 500 and k not in lo_keys
     }
-    b = {
-        (r["url_key"], r["maybe_seen"])
-        for r in seen_set.bloom_probe(
-            probe_in, shards, "url_key", broadcast_shards=False
-        ).collect()
-    }
-    assert a == b and len(a) == 500
-    # members are always flagged (no false negatives) on both paths
-    assert all(ms for k, ms in a if int(k[1:]) < 500)
+    assert missing_bucket and all(not ms for _, ms in missing_bucket)
