@@ -52,6 +52,10 @@ def get_spark(
     # cluster this maps to fast local NVMe / ramdisk scratch per executor.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
-        os.makedirs(local_dir, exist_ok=True)
+        # spark.local.dir accepts a comma-separated list (one scratch root
+        # per disk) — pre-create each root, not a path containing commas
+        for d in local_dir.split(","):
+            if d:
+                os.makedirs(d, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

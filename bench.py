@@ -55,16 +55,26 @@ def _setup_scratch() -> None:
     ~30% higher — the shuffle-file I/O was BOTH the dominant variance
     source and a real bottleneck. On a production cluster this maps to
     per-executor NVMe/ramdisk scratch. Runs at import so the headline,
-    section benches, and every cold-JVM subprocess leg inherit it."""
+    section benches, and every cold-JVM subprocess leg inherit it.
+
+    tmpfs is RAM: a leg killed by the subprocess timeout (SIGKILL) never
+    removes its shuffle dirs, and leaked files would occupy memory until
+    reboot — so the MAIN bench process (not the subprocess legs, which
+    see the env var already set) registers an atexit sweep of the scratch
+    dir. Spark re-creates its per-app subdirs on demand, so sweeping
+    between runs is always safe."""
     if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
         return
     shm = "/dev/shm"
     try:
         st = os.statvfs(shm)
         if st.f_bavail * st.f_frsize > 16 * 2**30 and os.access(shm, os.W_OK):
-            os.environ["SPARK_GRAFT_LOCAL_DIR"] = os.path.join(
-                shm, "spark-graft-bench"
-            )
+            scratch = os.path.join(shm, "spark-graft-bench")
+            os.environ["SPARK_GRAFT_LOCAL_DIR"] = scratch
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     except OSError:
         pass
 

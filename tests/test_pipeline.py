@@ -135,6 +135,13 @@ def test_crawl_goldens_regenerate_byte_identically():
         sys.path.remove(str(tools))
     committed = gen.OUT_PATH.read_text()
     assert committed == gen.render()
+    # the driver-gated entry must run the SAME fixture the generator
+    # froze: a clock/size change regenerated on one side only would stay
+    # green here and in the suite, then hash-fail opaquely at the gate
+    from archive_query_log_spark import entry_queries as eq
+
+    assert tuple(gen.NOWS) == eq._CRAWL_NOWS
+    assert (gen.N_FRONTIER, gen.N_IMAGES, gen.BUDGET_WAVES) == (1000, 200, 8)
 
 
 def test_crawl_twin_xxh64_matches_spark(spark):

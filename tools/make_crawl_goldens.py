@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 import sys
 import uuid
 from datetime import datetime, timedelta
@@ -182,9 +183,8 @@ def xxh64(data: bytes, seed: int = 42) -> int:
 
 def host_bucket(host: str, n_buckets: int = N_BUCKETS) -> int:
     """pmod(xxhash64(host), n_buckets) — signed pmod like Spark's."""
-    signed = xxh64(host.encode()) - (1 << 64) if xxh64(host.encode()) >= (
-        1 << 63
-    ) else xxh64(host.encode())
+    h = xxh64(host.encode())
+    signed = h - (1 << 64) if h >= (1 << 63) else h
     return signed % n_buckets
 
 
@@ -342,8 +342,6 @@ def run_crawl_twin() -> dict:
         scheduled: list[dict] = []
         by_host: dict[str, list[dict]] = {}
         for r in fresh:
-            import re
-
             m = re.match(r"^[a-z]+://[^/?#]+(/[^?#]*)", r["url"])
             path = m.group(1) if m else "/"
             allowed, delay = robots_pick(rules, r["host"], path)
