@@ -69,7 +69,12 @@ def _setup_scratch() -> None:
     try:
         st = os.statvfs(shm)
         if st.f_bavail * st.f_frsize > 16 * 2**30 and os.access(shm, os.W_OK):
-            scratch = os.path.join(shm, "spark-graft-bench")
+            # pid-suffixed: two concurrent bench runs must not share a
+            # scratch root — the first to exit would atexit-sweep the
+            # other's live shuffle files mid-run. Subprocess legs inherit
+            # the env var, so they share THIS run's dir (swept only after
+            # they have finished).
+            scratch = os.path.join(shm, f"spark-graft-bench-{os.getpid()}")
             os.environ["SPARK_GRAFT_LOCAL_DIR"] = scratch
             import atexit
             import shutil
@@ -578,6 +583,123 @@ def warc_xpath_real_bench(master: str) -> dict | None:
     }
 
 
+# Hard byte budget for the compact stdout line. The driver captures only
+# the LAST ~2000 bytes of stdout; a line that outgrows the window leaves
+# the round's BENCH artifact with "parsed": null (it happened in rounds 4
+# AND 6 — each time a well-meant detail block pushed the line over). The
+# budget leaves ~120 bytes of slack under 2000 for the driver's own
+# framing. build_compact() enforces it structurally: detail blocks live in
+# BENCH_LOCAL.json only, and if the line still exceeds the budget it
+# degrades through _COMPACT_DROPS (least-essential first) and finally
+# asserts — an over-budget line can fail tests, never ship silently.
+COMPACT_BUDGET = 1880
+
+
+def _compact_drop_t32_windows(c):
+    (c.get("scaling") or {}).pop("t32_windows", None)
+
+
+def _compact_drop_section_secs(c):
+    for s in (c.get("sections") or {}).values():
+        if isinstance(s, dict):
+            s.pop("sec", None)
+
+
+def _compact_drop_queries_best(c):
+    c.pop("queries_best", None)
+
+
+def _compact_drop_gate_windows(c):
+    for k in ("t2_windows", "t8_windows"):
+        (c.get("scaling") or {}).pop(k, None)
+
+
+def _compact_drop_sections(c):
+    c.pop("sections", None)
+
+
+_COMPACT_DROPS = [
+    _compact_drop_t32_windows,
+    _compact_drop_section_secs,
+    _compact_drop_queries_best,
+    _compact_drop_gate_windows,
+    _compact_drop_sections,
+]
+
+
+def build_compact(detail: dict, budget: int = COMPACT_BUDGET) -> str:
+    """The single compact stdout line, built from the full record.
+
+    Contents (in priority order — later blocks degrade first if over
+    budget): driver contract (metric/value/unit/sf/queries medians);
+    crawl headline; scaling-gate scalars (the two-cluster-size criterion);
+    per-query best-of (variance evidence — a uniform median-vs-best gap
+    across unrelated queries is the contention signature, a single query's
+    gap is a plan regression); gate-pair raw windows; section rates.
+    Everything else (windows_sec, per-stage attribution, CC telemetry,
+    methods) is BENCH_LOCAL.json-only by construction."""
+    queries = detail["queries"]
+    qbest = (detail.get("queries_detail") or {}).get("best") or {}
+    scaling = detail.get("scaling")
+    main_run = detail["crawl"]["per_fetch_decode"]
+
+    def _rate(d, rate_key):
+        return None if d is None else {rate_key: d[rate_key], "sec": d["sec"]}
+
+    wxr = detail.get("warc_xpath_real")
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": detail["unit"],
+        "sf": detail["sf"],
+        "queries": queries,
+        "queries_best": {k: qbest[k] for k in queries if k in qbest},
+        "crawl": {
+            "n_frontier": detail["crawl"]["n_frontier"],
+            "urls_per_sec": main_run["urls_per_sec"],
+            "urls_per_sec_median": main_run.get("urls_per_sec_median"),
+            "fetch_cache_urls_per_sec": (
+                detail["crawl"]["fetch_cache"]["urls_per_sec"]
+            ),
+        },
+        "sections": {
+            "ann_sig_768": _rate(detail.get("ann_sig_768"), "rows_per_sec"),
+            "cascade_972": _rate(detail.get("cascade_972"), "rows_per_sec"),
+            "warc_xpath_74": _rate(detail.get("warc_xpath_74"), "rows_per_sec"),
+            "warc_xpath_real": _rate(wxr, "docs_per_sec"),
+            "warc_xpath_real_combined": (
+                None if wxr is None else _rate(wxr["combined"], "docs_per_sec")
+            ),
+        },
+        "scaling": (
+            None
+            if scaling is None
+            else {
+                k: scaling[k]
+                for k in (
+                    "t2_urls_per_sec", "t8_urls_per_sec", "t32_urls_per_sec",
+                    "efficiency_8_vs_4x2", "efficiency_8_vs_4x2_median",
+                    "efficiency_32_vs_4x8", "efficiency_32_vs_4x8_median",
+                    "t2_windows", "t8_windows", "t32_windows",
+                )
+                if k in scaling
+            }
+        ),
+        "detail": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(compact)
+    for drop in _COMPACT_DROPS:
+        if len(line) <= budget:
+            break
+        drop(compact)
+        line = json.dumps(compact)
+    assert len(line) <= budget, (
+        f"compact bench line is {len(line)} bytes even after all drops "
+        f"(budget {budget}) — the driver tail window would truncate it"
+    )
+    return line
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-job":
         master, nf, ni, pf = sys.argv[2:6]
@@ -750,55 +872,7 @@ def main():
     with open(local_path, "w") as fh:
         json.dump(detail, fh, indent=1)
 
-    def _sect(d, rate_key):
-        if d is None:
-            return None
-        out = {rate_key: d[rate_key], "sec": d["sec"], "windows": d["windows"]}
-        if "parsed" in d:
-            out["parsed"] = d["parsed"]
-        return out
-
-    compact = {
-        "metric": detail["metric"],
-        "value": detail["value"],
-        "unit": "urls/sec",
-        "sf": sf,
-        "queries": queries,
-        "crawl": {
-            "n_frontier": n_frontier,
-            "urls_per_sec": main_run["urls_per_sec"],
-            "urls_per_sec_median": main_run.get("urls_per_sec_median"),
-            "fetch_cache_urls_per_sec": cached_run["urls_per_sec"],
-        },
-        "sections": {
-            "ann_sig_768": _sect(detail["ann_sig_768"], "rows_per_sec"),
-            "cascade_972": _sect(detail["cascade_972"], "rows_per_sec"),
-            "warc_xpath_74": _sect(detail["warc_xpath_74"], "rows_per_sec"),
-            "warc_xpath_real": _sect(detail["warc_xpath_real"], "docs_per_sec"),
-            "warc_xpath_real_combined": (
-                None
-                if detail["warc_xpath_real"] is None
-                else _sect(detail["warc_xpath_real"]["combined"], "docs_per_sec")
-            ),
-        },
-        "scaling": (
-            None
-            if scaling is None
-            else {
-                k: scaling[k]
-                for k in (
-                    "t2_urls_per_sec", "t8_urls_per_sec", "t32_urls_per_sec",
-                    "efficiency_8_vs_4x2", "efficiency_8_vs_4x2_median",
-                    "efficiency_32_vs_4x8", "efficiency_32_vs_4x8_median",
-                    "t2_windows", "t8_windows", "t32_windows",
-                    "t2_windows_sec", "t8_windows_sec", "t32_windows_sec",
-                    "stages_sec_median", "stage_efficiency_8_vs_4x2",
-                )
-            }
-        ),
-        "detail": "BENCH_LOCAL.json",
-    }
-    print(json.dumps(compact))
+    print(build_compact(detail))
 
 
 if __name__ == "__main__":
