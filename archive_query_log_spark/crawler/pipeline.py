@@ -144,14 +144,24 @@ def _version_before_round(table: SnapshotTable, round_id: int) -> int | None:
 
 
 def _commit_once(
-    table: SnapshotTable, df: DataFrame, op: str, round_id: int
+    table: SnapshotTable, df: DataFrame, op: str, round_id: int,
+    post_write_meta=None,
 ) -> bool:
     """Commit unless this round already committed to this table (replay)."""
     v = table.latest_version()
     if v is not None and table._manifest(v)["meta"].get("round") == round_id:
         return False
-    table.commit(df, op=op, meta={"round": round_id})
+    table.commit(df, op=op, meta={"round": round_id},
+                 post_write_meta=post_write_meta)
     return True
+
+
+def _shard_bytes_meta(written: DataFrame) -> dict:
+    """Manifest stash for seen_shards commits: the snapshot's summed
+    Bloom-blob bytes. Static per snapshot — computing it here (one
+    n_buckets-row agg over the just-written files, once per round's commit)
+    lets every later probe construction skip its own layout-decision job."""
+    return {"shard_total_bytes": seen_set.shard_total_bytes(written, "bloom")}
 
 
 def next_round_id(state: CrawlState) -> int:
@@ -202,8 +212,16 @@ def run_round(
         if (cfg.use_bloom and shard_ver is not None)
         else None
     )
+    # manifest-stashed snapshot size (committed by _shard_bytes_meta) —
+    # probes of older snapshots (pre-stash manifests) fall back to the agg
+    shard_bytes = (
+        state.seen_shards._manifest(shard_ver)["meta"].get("shard_total_bytes")
+        if shards is not None
+        else None
+    )
     fresh = seen_set.filtered_new(
-        new, seen, shards, "url_key", cfg.n_buckets
+        new, seen, shards, "url_key", cfg.n_buckets,
+        shard_size_bytes=shard_bytes,
     ).withColumn("is_refresh", F.lit(False))
     if refresh is not None:
         fresh = fresh.unionByName(
@@ -255,7 +273,8 @@ def run_round(
             next_shards = seen_set.update_bloom_shards(
                 shards, new_keys, all_keys, "url_key", bloom_cfg
             )
-        _commit_once(state.seen_shards, next_shards, "overwrite", round_id)
+        _commit_once(state.seen_shards, next_shards, "overwrite", round_id,
+                     post_write_meta=_shard_bytes_meta)
 
     # NOTE: no frontier write — the reference flips should_fetch/last_fetched
     # in place (an ES doc update); at 10^10 rows the columnar equivalent is a

@@ -12,6 +12,7 @@ Conventions that make the hash-compare gate deterministic:
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from functools import lru_cache as _lru_cache
 
@@ -2500,7 +2501,9 @@ _CRAWL_NOWS = (
     "2024-03-15 00:00:00",  # +43 days → round-0 fetches stale (4-week window)
     "2024-03-15 00:00:00",
 )
-_CRAWL_STATE_CACHE: dict = {}
+# weak keys: caching by SparkSession must not pin stopped sessions (plus
+# their JVM-side handles) for the process lifetime
+_CRAWL_STATE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @_lru_cache(maxsize=1)
@@ -2516,6 +2519,8 @@ def _crawl_goldens() -> dict:
 def _crawl_3round_state(spark: SparkSession):
     """Run (once per session) the exact goldens fixture: 3 rounds, budget 8,
     1000-row frontier over 200 images, re-poll clock _CRAWL_NOWS."""
+    import atexit
+    import shutil
     import tempfile
 
     from archive_query_log_spark.crawler import pipeline, synth
@@ -2527,6 +2532,7 @@ def _crawl_3round_state(spark: SparkSession):
     frontier = synth.synth_frontier(spark, 1000, 200, 8)
     robots = synth.synth_robots(spark)
     root = tempfile.mkdtemp(prefix="entry_crawl_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     state = pipeline.init_state(root, frontier)
     for rid, now in enumerate(_CRAWL_NOWS):
         pipeline.run_round(

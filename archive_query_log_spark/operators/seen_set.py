@@ -152,6 +152,19 @@ def build_bloom_shards(
 _BROADCAST_SHARDS_MAX_BYTES = 256 << 20
 
 
+def shard_total_bytes(shards: DataFrame, kind: str = "bloom") -> int:
+    """Summed filter-blob bytes of a shard table (an n_buckets-row agg).
+
+    The number is STATIC per shard snapshot — compute it once when the
+    snapshot is committed (stash it in the snapshot manifest's meta, as the
+    crawl pipeline does) and pass it to the probes as ``shard_size_bytes``
+    so layout auto-selection stops costing one Spark job per probe
+    construction."""
+    expr = _bloom_size_bytes() if kind == "bloom" else _cuckoo_size_bytes()
+    total = shards.agg(F.sum(expr).alias("b")).first()["b"]
+    return int(total) if total is not None else 0
+
+
 def _probe_with_layout(
     batch: DataFrame,
     shards: DataFrame,
@@ -161,6 +174,7 @@ def _probe_with_layout(
     meta_cols: tuple[str, ...],
     kernel,
     size_bytes_fn,
+    shard_size_bytes: int | None = None,
 ):
     """Shared layout machinery for the sharded-filter probes (Bloom and
     cuckoo differ only in their per-bucket membership ``kernel``).
@@ -186,8 +200,10 @@ def _probe_with_layout(
       co-partitioned on bucket, each blob crossing the Arrow boundary once
       per group, not once per row.
     - ``broadcast_shards=None`` (default) auto-selects: broadcast while
-      the summed blob bytes (from shard METADATA, a n_buckets-row agg)
-      stay under ``_BROADCAST_SHARDS_MAX_BYTES``.
+      the summed blob bytes (``shard_size_bytes`` when the caller knows it
+      — e.g. from the snapshot manifest the pipeline stashes it in — else
+      an n_buckets-row metadata agg) stay under
+      ``_BROADCAST_SHARDS_MAX_BYTES``.
 
     Returns ``(probed_df, broadcast_handle_or_None)`` so callers that
     materialize the result can unpersist the broadcast instead of leaving
@@ -196,7 +212,11 @@ def _probe_with_layout(
     """
     n_buckets = n_buckets if n_buckets is not None else _shard_n_buckets(shards)
     if broadcast_shards is None:
-        total = shards.agg(F.sum(size_bytes_fn()).alias("b")).first()["b"]
+        total = (
+            shard_size_bytes
+            if shard_size_bytes is not None
+            else shards.agg(F.sum(size_bytes_fn()).alias("b")).first()["b"]
+        )
         broadcast_shards = total is not None and int(total) <= _BROADCAST_SHARDS_MAX_BYTES
     hashed = with_hashes(batch, key_col, n_buckets)
     keep = [f for f in hashed.schema.fields if f.name not in ("_h1", "_h2")]
@@ -276,14 +296,26 @@ def bloom_probe(
     key_col: str = "url_key",
     n_buckets: int | None = None,
     broadcast_shards: bool | None = None,
+    shard_size_bytes: int | None = None,
+    broadcast_out: list | None = None,
 ) -> DataFrame:
     """Adds ``maybe_seen`` (bool). False ⇒ definitely new (no false
     negatives). Layouts, auto-selection, and the never-per-row blob rule:
-    see ``_probe_with_layout``."""
-    probed, _ = _probe_with_layout(
+    see ``_probe_with_layout``.
+
+    Repeated-probe callers: pass a list as ``broadcast_out`` — when the
+    broadcast layout is chosen, the shard Broadcast handle is appended to
+    it; call ``.unpersist()`` once the probed result is materialized.
+    Without it, release waits on GC→ContextCleaner — one retained shard
+    dict (up to the 256 MB cutover) per probe adds up over a 10^4-round
+    crawl. ``filtered_new`` does this housekeeping itself."""
+    probed, bc = _probe_with_layout(
         batch, shards, key_col, n_buckets, broadcast_shards,
         ("bits", "m", "k"), _bloom_kernel, _bloom_size_bytes,
+        shard_size_bytes=shard_size_bytes,
     )
+    if bc is not None and broadcast_out is not None:
+        broadcast_out.append(bc)
     return probed
 
 
@@ -530,14 +562,20 @@ def cuckoo_probe(
     key_col: str = "url_key",
     n_buckets: int | None = None,
     broadcast_shards: bool | None = None,
+    shard_size_bytes: int | None = None,
+    broadcast_out: list | None = None,
 ) -> DataFrame:
     """Adds ``maybe_seen``; zero false negatives, same contract as Bloom.
     Layouts and auto-selection: see ``_probe_with_layout`` (a 10^10-key
-    cuckoo set is ~26 GB - past the broadcast cutover)."""
-    probed, _ = _probe_with_layout(
+    cuckoo set is ~26 GB - past the broadcast cutover). ``broadcast_out``:
+    same release contract as ``bloom_probe``."""
+    probed, bc = _probe_with_layout(
         batch, shards, key_col, n_buckets, broadcast_shards,
         ("bits", "m"), _cuckoo_kernel, _cuckoo_size_bytes,
+        shard_size_bytes=shard_size_bytes,
     )
+    if bc is not None and broadcast_out is not None:
+        broadcast_out.append(bc)
     return probed
 
 
@@ -595,13 +633,16 @@ def filtered_new(
     n_buckets: int | None = None,
     checkpoint: bool = True,
     broadcast_shards: bool | None = None,
+    shard_size_bytes: int | None = None,
 ) -> DataFrame:
     """The scale path: Bloom pre-filter, exact anti-join only on maybe-seen.
 
     Result is provably identical to ``exact_new`` (no false negatives; false
     positives re-checked exactly). ``broadcast_shards`` passes through to
     the probe (None = auto-select by shard size — the 10^10-key cogrouped
-    layout is reachable from the pipeline via this default).
+    layout is reachable from the pipeline via this default);
+    ``shard_size_bytes`` (the manifest-stashed snapshot size) skips the
+    auto-select's per-construction metadata job.
 
     ``checkpoint=True`` (default) localCheckpoints the probed batch before
     splitting it into the definitely-new / suspect branches: both branches
@@ -616,6 +657,7 @@ def filtered_new(
     probed, bc = _probe_with_layout(
         batch, shards, key_col, n_buckets, broadcast_shards,
         ("bits", "m", "k"), _bloom_kernel, _bloom_size_bytes,
+        shard_size_bytes=shard_size_bytes,
     )
     if checkpoint:
         probed = probed.localCheckpoint()

@@ -77,12 +77,21 @@ class SnapshotTable:
         op: str = "append",
         meta: dict[str, Any] | None = None,
         dry_run: bool = False,
+        post_write_meta: Any = None,
     ) -> int:
         """Write df as new data files and atomically publish a new snapshot.
 
         ``dry_run=True`` (S15, reference config.py:75-107): run the plan and
         count what would be committed, but write nothing — the table is
-        untouched; returns the version that WOULD have been committed."""
+        untouched; returns the version that WOULD have been committed.
+
+        ``post_write_meta``: optional callable ``(written: DataFrame) ->
+        dict`` invoked AFTER the data write with a DataFrame re-read from
+        the just-written files (so the input plan is never executed twice);
+        its result is merged into the manifest's meta before the atomic
+        rename. Use it to stash snapshot-static statistics (e.g. the
+        seen-set shard table's summed blob bytes) that readers would
+        otherwise recompute with a Spark job per use."""
         assert op in ("append", "overwrite")
         parent = self.latest_version()
         version = (parent + 1) if parent is not None else 0
@@ -99,13 +108,18 @@ class SnapshotTable:
         dirs = [str(file_dir)]
         if op == "append" and parent is not None:
             dirs = self._manifest(parent)["data_dirs"] + dirs
+        meta = dict(meta or {})
+        if post_write_meta is not None:
+            meta.update(
+                post_write_meta(df.sparkSession.read.parquet(str(file_dir)))
+            )
         manifest = {
             "version": version,
             "parent": parent,
             "op": op,
             "data_dirs": dirs,
             "committed_at": time.time(),
-            "meta": meta or {},
+            "meta": meta,
         }
         tmp = self.snap_dir / f".v{version}.json.tmp.{uuid.uuid4().hex[:6]}"
         tmp.write_text(json.dumps(manifest, indent=1))

@@ -135,3 +135,68 @@ def test_bloom_probe_partitioned_path_matches_broadcast(spark):
         (k, ms) for k, ms in a if int(k[1:]) < 500 and k not in lo_keys
     }
     assert missing_bucket and all(not ms for _, ms in missing_bucket)
+
+
+def test_shard_total_bytes_and_size_hint_layouts(spark):
+    """shard_total_bytes (the manifest-stash value) equals what the
+    auto-select agg would compute, and passing it as shard_size_bytes
+    steers the layout without running the metadata job: a hint under the
+    cutover gives broadcast (handle emitted), a hint above gives the
+    cogrouped layout — with identical verdicts."""
+    keys = spark.createDataFrame(
+        [(f"s{i}",) for i in range(200)], "url_key string"
+    )
+    cfg = seen_set.BloomConfig(n_buckets=4)
+    shards = seen_set.build_bloom_shards(keys, "url_key", cfg).cache()
+    total = seen_set.shard_total_bytes(shards, "bloom")
+    # blobs are m/8 bytes each; cross-check against collected rows
+    rows = shards.select("m").collect()
+    assert total == sum(int(r["m"]) // 8 for r in rows) and total > 0
+
+    batch = spark.createDataFrame(
+        [(f"s{i}",) for i in range(100, 300)], "url_key string"
+    )
+    out_bc: list = []
+    small = seen_set.bloom_probe(
+        batch, shards, "url_key", shard_size_bytes=total, broadcast_out=out_bc
+    )
+    got_small = {(r["url_key"], r["maybe_seen"]) for r in small.collect()}
+    assert len(out_bc) == 1  # broadcast layout chosen, handle exposed
+    out_bc[0].unpersist(blocking=False)
+
+    huge_hint = seen_set._BROADCAST_SHARDS_MAX_BYTES + 1
+    out_none: list = []
+    big = seen_set.bloom_probe(
+        batch, shards, "url_key", shard_size_bytes=huge_hint,
+        broadcast_out=out_none,
+    )
+    got_big = {(r["url_key"], r["maybe_seen"]) for r in big.collect()}
+    assert out_none == []  # cogrouped layout: no broadcast handle
+    assert got_small == got_big
+    inserted = {f"s{i}" for i in range(200)}
+    assert all(ms for k, ms in got_small if k in inserted)
+
+
+def test_pipeline_commit_stashes_shard_bytes(spark, tmp_path):
+    """Every seen_shards snapshot manifest carries shard_total_bytes equal
+    to a fresh recompute — run_round's probes read the stash instead of
+    running a per-construction layout job (ADVICE r6)."""
+    from archive_query_log_spark.crawler import pipeline, synth
+
+    images = synth.synth_images(spark, 50, 8)
+    frontier = synth.synth_frontier(spark, 200, 50, 8)
+    robots = synth.synth_robots(spark)
+    state = pipeline.init_state(str(tmp_path / "stash"), frontier)
+    for rid in range(2):
+        pipeline.run_round(
+            spark, state, images, robots,
+            pipeline.CrawlConfig(budget_waves=8), rid,
+        )
+    hist = state.seen_shards.history()
+    assert len(hist) == 2
+    for m in hist:
+        stashed = m["meta"]["shard_total_bytes"]
+        fresh = seen_set.shard_total_bytes(
+            state.seen_shards.read(spark, m["version"]), "bloom"
+        )
+        assert stashed == fresh > 0
