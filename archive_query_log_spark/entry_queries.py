@@ -3207,11 +3207,24 @@ _GATE_ORDER: list[str] = [
     "j3_asof_join",
     "j7_anti_join",
     "a2_distinct_users",
-    "a3_topk",
     "a4_date_histogram",
+    # round-7 window strengthening (5 in / 5 out, judge-directed; swapped-
+    # out entries stay oracle-backed past the window): in —
+    # img_decode_validate (the fetch-validation verdict twin, north-rule
+    # core, never driver-gated before), c18_sniff_roundtrip (statistical
+    # charset sniffer roundtrip), img_phash_cluster (phash CC clustering),
+    # dedup_lsh_candidate_pairs (the banded candidate GENERATOR back in —
+    # distinct evidence from the e2e pipeline that consumes it),
+    # a5_auto_histogram (auto-bucket selection). Out (weakest gated):
+    # u2_union_streams, f5_range_filter, c6_timestamp14, a3_topk,
+    # w3_rank_assignment.
+    "img_decode_validate",
+    "c18_sniff_roundtrip",
+    "img_phash_cluster",
+    "dedup_lsh_candidate_pairs",
+    "a5_auto_histogram",
     "a8_minby_dedup",
     "w1_priority_rank",
-    "w3_rank_assignment",
     "w4_first_match_cascade",
     "w4_reference_rules",
     "warc_rules_parity",
@@ -3221,15 +3234,12 @@ _GATE_ORDER: list[str] = [
     "c18_encoding_waterfall",
     "c1_parse_url_params",
     "c17_url_key",
-    "c6_timestamp14",
     "c10_unfurl",
     "q1_fulltext_match",
     "q2_advanced_search",
     "q4_completion_suggest",
     "q5_compare",
-    "f5_range_filter",
     "u1_array_merge",
-    "u2_union_streams",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_cluster_assign",
