@@ -17,6 +17,38 @@ from __future__ import annotations
 import argparse
 import json
 
+# fetch-log columns that define the crawl's observable behavior (what the
+# hash-gated crawl_digest_3round entry pins); fetched_at is excluded only
+# when --nows is absent (wall clock)
+DIGEST_COLS = (
+    "round", "id", "url_key", "host", "wave", "crawl_delay_s",
+    "is_refresh", "fetch_status", "psnr_ok", "caption_ok", "phash_ok",
+)
+
+
+def table_digest(df, cols) -> str:
+    """Order-independent distributed digest: per-row md5 over the
+    canonicalized columns, summed as 60-bit ints in DECIMAL(38,0) (exact,
+    commutative — no collect, works at any scale)."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                for c in cols
+            ],
+        )
+    )
+    row = df.agg(
+        F.sum(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("d"),
+        F.count("*").alias("n"),
+    ).first()
+    return f"{row['n']}:{row['d']}"
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -26,6 +58,19 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--budget-waves", type=int, default=16)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--nows",
+        default=None,
+        help="comma-separated 'YYYY-MM-DD HH:MM:SS' re-poll clocks, one per"
+        " round — makes the run fully deterministic (goldens-fixture shape)",
+    )
+    ap.add_argument(
+        "--digest",
+        action="store_true",
+        help="append order-independent digests of the fetch log and the"
+        " final seen set to the stats line (bit-for-bit parity evidence"
+        " between launch shapes)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -45,9 +90,34 @@ def main() -> None:
         frontier = synth.synth_frontier(spark, args.frontier_size, args.images)
         state = pipeline.init_state(args.workdir, frontier)
 
-    cfg = pipeline.CrawlConfig(budget_waves=args.budget_waves)
-    stats = pipeline.run(spark, state, images, robots, cfg, max_rounds=args.rounds)
-    print(json.dumps({"rounds": stats}))
+    if args.nows:
+        nows = [s.strip() for s in args.nows.split(",")]
+        stats = []
+        start = pipeline.next_round_id(state)
+        for rid in range(start, args.rounds):
+            stats.append(
+                pipeline.run_round(
+                    spark, state, images, robots,
+                    pipeline.CrawlConfig(
+                        budget_waves=args.budget_waves, now=nows[rid]
+                    ),
+                    rid,
+                )
+            )
+    else:
+        cfg = pipeline.CrawlConfig(budget_waves=args.budget_waves)
+        stats = pipeline.run(
+            spark, state, images, robots, cfg, max_rounds=args.rounds
+        )
+    out = {"rounds": stats}
+    if args.digest:
+        out["fetches_digest"] = table_digest(
+            state.fetches.read(spark), DIGEST_COLS
+        )
+        out["seen_digest"] = table_digest(
+            state.seen_keys.read(spark), ("url_key",)
+        )
+    print(json.dumps(out))
     spark.stop()
 
 
