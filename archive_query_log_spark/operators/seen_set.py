@@ -458,30 +458,51 @@ class CuckooShard:
         mixed = (fp.astype(np.uint64) * np.uint64(_CK_MIX)) & np.uint64(self.m - 1)
         return (i1.astype(np.uint64) ^ mixed).astype(np.int64)
 
+    def _partner(self, i: int, fp: int) -> int:
+        # scalar twin of _i2 (the vectorized form allocates arrays per call
+        # — too slow inside the per-key walk)
+        return i ^ ((fp * _CK_MIX) & (self.m - 1))
+
     def insert_many(self, h1: np.ndarray, rng_seed: int = 7) -> None:
+        """Deterministic random-walk insertion (Fan et al. cuckoo-filter
+        shape): try both home buckets, then kick a pseudo-random slot of
+        the CURRENT bucket and follow the evicted fingerprint to ITS
+        partner. The eviction bucket must move every step — the previous
+        implementation evicted from the incoming key's alt bucket and, when
+        the evicted fp's partner was full, recomputed that same alt bucket
+        (partner is an involution), so the walk was trapped in an ≤8-bucket
+        neighborhood and builds failed at 56% load. Found by the round-7
+        12M-key soak (25k keys/bucket); the corrected walk fills to ~0.95
+        load, comfortably above the 0.77 build sizing. Slot choice uses the
+        LCG's HIGH bits (low bits of an LCG cycle with period 4)."""
         fps = self._fp(h1)
         i1s = self._i1(h1)
-        state = np.uint64(rng_seed)
-        for fp, i1 in zip(fps, i1s):
-            fp = np.uint16(fp)
-            i = int(i1)
+        state = int(rng_seed)
+        table = self.table
+        for fp0, i0 in zip(fps, i1s):
+            fp = int(fp0)
+            i = int(i0)
+            row = table[i]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                continue
+            cur = self._partner(i, fp)
+            row = table[cur]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = fp
+                continue
             for _ in range(500):  # bounded eviction walk
-                row = self.table[i]
+                state = (state * 6364136223846793005 + 1) % (1 << 64)
+                slot = (state >> 33) % _CK_SLOTS
+                fp, table[cur, slot] = int(table[cur, slot]), fp
+                cur = self._partner(cur, fp)
+                row = table[cur]
                 empty = np.flatnonzero(row == 0)
                 if len(empty):
                     row[empty[0]] = fp
                     break
-                alt = int(self._i2(np.array([i]), np.array([fp]))[0])
-                row2 = self.table[alt]
-                empty2 = np.flatnonzero(row2 == 0)
-                if len(empty2):
-                    row2[empty2[0]] = fp
-                    break
-                # evict a deterministic slot and continue from the alt bucket
-                state = (state * np.uint64(6364136223846793005) + np.uint64(1)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-                slot = int(state % np.uint64(_CK_SLOTS))
-                fp, row2[slot] = np.uint16(row2[slot]), fp
-                i = int(self._i2(np.array([alt]), np.array([fp]))[0])
             else:
                 raise RuntimeError("cuckoo filter over capacity")
 
@@ -520,6 +541,23 @@ class CuckooShard:
         return s
 
 
+def _cuckoo_build_pdf(pdf: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
+    """The one cuckoo shard-build closure (fresh builds AND rebuilds — a
+    single copy of the sizing rule keeps the two paths bit-compatible)."""
+    shard = CuckooShard(len(pdf))
+    shard.insert_many(pdf["_h2"].to_numpy())
+    return pd.DataFrame(
+        {
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "bits": [shard.to_bytes()],
+            "m": [shard.m],
+            "k": [_CK_SLOTS],
+            "n": [len(pdf)],
+            "nb": [n_buckets],
+        }
+    )
+
+
 def build_cuckoo_shards(
     keys: DataFrame, key_col: str = "url_key", n_buckets: int = 32
 ) -> DataFrame:
@@ -530,20 +568,105 @@ def build_cuckoo_shards(
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = CuckooShard(len(pdf))
-        shard.insert_many(pdf["_h2"].to_numpy())
+        return _cuckoo_build_pdf(pdf, n_buckets)
+
+    return hashed.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
+
+
+# build sizing gives m·SLOTS ≥ 1.3·n (load ≈ 0.77); incremental adds keep
+# the same headroom — a bucket whose post-add occupancy would cross it is
+# rebuilt at the next power-of-two size. 4-slot cuckoo tables stay
+# insertable to ~0.95 load, so the eviction walk has margin below the
+# rebuild threshold.
+_CK_HEADROOM = 1.3
+
+
+def update_cuckoo_shards(
+    shards: DataFrame,
+    new_keys: DataFrame,
+    all_keys: DataFrame,
+    key_col: str = "url_key",
+) -> DataFrame:
+    """Incremental cuckoo maintenance — the deletion-capable twin of
+    ``update_bloom_shards`` (4-week-expiry crawls delete stale keys via
+    ``cuckoo_delete_keys`` and re-add them on re-fetch through here;
+    reference semantics: captures/__init__.py:28,163-176).
+
+    Same scale shape as the Bloom path: rebuild decisions come from a
+    METADATA join (per-bucket occupancy + add counts vs design capacity —
+    no table blob touched, no double execution), adds ride ONE
+    bucket-cogrouped pass as plain rows (never a collect_list array), and
+    overflowing buckets are rebuilt from ``all_keys`` (that bucket only)
+    through the same build closure as fresh builds.
+
+    ``new_keys`` must be keys not currently in the filter (the crawl's
+    novelty filter guarantees this); re-adding a still-present key would
+    store a second fingerprint copy, and a later delete removes only one.
+    """
+    nb = _shard_n_buckets(shards)
+    hashed = with_hashes(
+        new_keys.select(key_col).dropDuplicates([key_col]), key_col, nb
+    )
+    counts = hashed.groupBy("bucket").agg(F.count("*").alias("n_add"))
+    meta = (
+        shards.select("bucket", "m", "n")
+        .join(counts, on="bucket", how="full_outer")
+    )
+    rebuild = [
+        int(r["bucket"])
+        for r in meta.where(
+            F.col("m").isNull()  # adds into a bucket with no shard yet
+            | (
+                (F.col("n") + F.coalesce(F.col("n_add"), F.lit(0)))
+                * F.lit(_CK_HEADROOM)
+                > F.col("m") * F.lit(_CK_SLOTS)
+            )
+        )
+        .select("bucket")
+        .collect()
+    ]
+    kept_shards = shards
+    kept_adds = hashed.select("bucket", "_h2")
+    if rebuild:
+        kept_shards = kept_shards.where(~F.col("bucket").isin(rebuild))
+        kept_adds = kept_adds.where(~F.col("bucket").isin(rebuild))
+
+    def add_update(shard_pdf: pd.DataFrame, adds_pdf: pd.DataFrame):
+        if not len(shard_pdf):  # adds-only bucket → handled by rebuild leg
+            return pd.DataFrame(columns=[f.name for f in SHARD_SCHEMA.fields])
+        r = shard_pdf.iloc[0]
+        buf, m, n = r["bits"], int(r["m"]), int(r["n"])
+        if len(adds_pdf):
+            shard = CuckooShard.from_bytes(buf, m)
+            shard.insert_many(adds_pdf["_h2"].to_numpy())
+            buf, n = shard.to_bytes(), n + len(adds_pdf)
         return pd.DataFrame(
             {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "bits": [shard.to_bytes()],
-                "m": [shard.m],
-                "k": [_CK_SLOTS],
-                "n": [len(pdf)],
-                "nb": [n_buckets],
+                "bucket": [int(r["bucket"])],
+                "bits": [buf],
+                "m": [m],
+                "k": [int(r["k"])],
+                "n": [n],
+                "nb": [int(r["nb"])],
             }
         )
 
-    return hashed.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
+    updated = (
+        kept_shards.groupBy("bucket")
+        .cogroup(kept_adds.groupBy("bucket"))
+        .applyInPandas(add_update, SHARD_SCHEMA)
+    )
+    if not rebuild:
+        return updated
+    rb_keys = with_hashes(
+        all_keys.select(key_col).dropDuplicates([key_col]), key_col, nb
+    ).where(F.col("bucket").isin(rebuild))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cuckoo_build_pdf(pdf, nb)
+
+    rebuilt = rb_keys.groupBy("bucket").applyInPandas(build, SHARD_SCHEMA)
+    return updated.unionByName(rebuilt)
 
 
 def _cuckoo_kernel(ent: dict, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -602,18 +725,20 @@ def cuckoo_delete_keys(
         if not len(shard_pdf):  # retraction against a bucket with no shard
             return pd.DataFrame(columns=[f.name for f in SHARD_SCHEMA.fields])
         r = shard_pdf.iloc[0]
-        buf, m = r["bits"], int(r["m"])
+        buf, m, n = r["bits"], int(r["m"]), int(r["n"])
         if len(dels_pdf):
             shard = CuckooShard.from_bytes(buf, m)
-            shard.delete_many(dels_pdf["_h2"].to_numpy())
-            buf = shard.to_bytes()
+            deleted = shard.delete_many(dels_pdf["_h2"].to_numpy())
+            # n tracks occupancy so update_cuckoo_shards' capacity decision
+            # reflects reality after expiry waves (deletes free slots)
+            buf, n = shard.to_bytes(), n - deleted
         return pd.DataFrame(
             {
                 "bucket": [int(r["bucket"])],
                 "bits": [buf],
                 "m": [m],
                 "k": [int(r["k"])],
-                "n": [int(r["n"])],
+                "n": [n],
                 "nb": [int(r["nb"])],
             }
         )

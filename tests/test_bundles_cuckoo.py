@@ -109,3 +109,80 @@ def test_approx_distinct_tolerance(spark):
     )
     approx = ev.agg(F.approx_count_distinct("u", 0.02).alias("a")).collect()[0]["a"]
     assert abs(approx - 9173) / 9173 < 0.05
+
+
+def test_update_cuckoo_shards_add_and_rebuild(spark):
+    """The 4-week-expiry round trip at fixture scale: delete stale keys,
+    re-add on re-fetch via update_cuckoo_shards — in-place adds while
+    capacity holds, per-bucket rebuild on overflow, adds-only buckets
+    routed to the rebuild leg, zero false negatives throughout."""
+    base = spark.createDataFrame(
+        [(f"k{i}",) for i in range(400)], "url_key string"
+    )
+    shards = seen_set.build_cuckoo_shards(base, "url_key", n_buckets=4).cache()
+
+    # expiry wave: retract 150 keys, occupancy decremented
+    stale = spark.createDataFrame(
+        [(f"k{i}",) for i in range(150)], "url_key string"
+    )
+    after_del = seen_set.cuckoo_delete_keys(shards, stale, "url_key", 4).cache()
+    n0 = {r["bucket"]: r["n"] for r in shards.select("bucket", "n").collect()}
+    n1 = {r["bucket"]: r["n"] for r in after_del.select("bucket", "n").collect()}
+    assert sum(n0.values()) == 400 and sum(n1.values()) == 250
+
+    # re-fetch wave: re-add the 150 + 50 brand-new keys (fits capacity ->
+    # in-place adds, same m everywhere)
+    readd = spark.createDataFrame(
+        [(f"k{i}",) for i in range(150)] + [(f"x{i}",) for i in range(50)],
+        "url_key string",
+    )
+    all_keys = spark.createDataFrame(
+        [(f"k{i}",) for i in range(400)] + [(f"x{i}",) for i in range(50)],
+        "url_key string",
+    )
+    upd = seen_set.update_cuckoo_shards(after_del, readd, all_keys, "url_key").cache()
+    m0 = {r["bucket"]: r["m"] for r in shards.select("bucket", "m").collect()}
+    m1 = {r["bucket"]: r["m"] for r in upd.select("bucket", "m").collect()}
+    assert m1 == m0  # no rebuild needed at this load
+    probe = seen_set.cuckoo_probe(all_keys, upd, "url_key", 4)
+    assert probe.where(~F.col("maybe_seen")).count() == 0  # no false negatives
+    n2 = {r["bucket"]: r["n"] for r in upd.select("bucket", "n").collect()}
+    assert sum(n2.values()) == 450
+
+    # overflow wave: 4000 new keys into the same 4 buckets -> every bucket
+    # crosses the 1.3x headroom and is rebuilt at a larger m from all_keys
+    big = spark.createDataFrame(
+        [(f"y{i}",) for i in range(4000)], "url_key string"
+    )
+    all2 = all_keys.unionByName(big)
+    upd2 = seen_set.update_cuckoo_shards(upd, big, all2, "url_key").cache()
+    m2 = {r["bucket"]: r["m"] for r in upd2.select("bucket", "m").collect()}
+    assert all(m2[b] > m1[b] for b in m2)
+    assert seen_set.cuckoo_probe(all2, upd2, "url_key", 4).where(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    # non-members mostly read unseen (fpp sanity, 16-bit fingerprints)
+    other = spark.createDataFrame(
+        [(f"z{i}",) for i in range(2000)], "url_key string"
+    )
+    fp = seen_set.cuckoo_probe(other, upd2, "url_key", 4).where(
+        F.col("maybe_seen")
+    ).count()
+    assert fp < 20
+
+
+def test_update_cuckoo_shards_adds_only_bucket(spark):
+    """A bucket with adds but no existing shard row must be BUILT (the
+    m-IS-NULL leg), not dropped — same contract as update_bloom_shards."""
+    lo = spark.createDataFrame(
+        [(f"k{i}",) for i in range(200)], "url_key string"
+    )
+    hashed = seen_set.with_hashes(lo, "url_key", 8)
+    present = hashed.where(F.col("bucket") < 4).select("url_key").cache()
+    shards = seen_set.build_cuckoo_shards(present, "url_key", n_buckets=8)
+    # adds hit ALL 8 buckets; 4 of them have no shard yet
+    upd = seen_set.update_cuckoo_shards(shards, lo, lo, "url_key")
+    assert upd.select("bucket").distinct().count() == 8
+    assert seen_set.cuckoo_probe(lo, upd, "url_key", 8).where(
+        ~F.col("maybe_seen")
+    ).count() == 0
