@@ -3172,6 +3172,79 @@ def c18_sniff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reference's google provider (first rule: //form[@id='tsf']//input
+# [@name='q']/@value, url_pattern ^https?://[^/]+/search\?) — used by the
+# integrated sniff→cascade entry below with the REAL rule table
+_SNIFF_CASCADE_PID = "f205fc44-d918-4b79-9a7f-c1373a6ff9f2"
+
+
+@_q(
+    "c18_sniff_to_warc_cascade",
+    f"""
+SELECT d.doc_id, b.enc AS encoding,
+       b.s || ' doc ' || CAST(d.doc_id AS VARCHAR) AS warc_query,
+       CAST(0 AS INT) AS wq_rule
+FROM documents d JOIN (VALUES
+    {", ".join(f"({i}, '{e}', '{s}')" for i, (e, s) in enumerate(_SNIFF_BANK))})
+  AS b(i, enc, s)
+ON CAST(d.doc_id % {len(_SNIFF_BANK)} AS INT) = b.i
+WHERE d.doc_id < 320
+""",
+)
+def c18_sniff_to_warc_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integrated composition the round-6 verdict named as the last
+    untested one: legacy-charset SERP bytes → statistical-sniff decode →
+    the REAL WARC XPath query cascade. SERP HTML is minted in the 8 legacy
+    charsets of the sniff bank (no declared charset, no BOM, no meta tag —
+    the branch the fixed ladder terminally mis-reads as cp1252), decoded by
+    ``decode_text_udf(sniff=True)``, and the decoded HTML flows into
+    ``parse_warc_queries`` under the reference's google provider — whose
+    first real rule (form#tsf input[name=q]/@value) must recover the exact
+    source sentence. A wrong sniff OR a wrong cascade hit fails the value
+    hash; the oracle reconstructs (encoding, query, winning rule) from the
+    bank."""
+    from archive_query_log_spark.functions.encoding import decode_text_udf
+    from archive_query_log_spark.operators.warc_rules import parse_warc_queries
+
+    bank = _SNIFF_BANK
+
+    @F.pandas_udf("binary")
+    def _mint_serp(doc_id):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        out = []
+        for i in doc_id:
+            enc, s = bank[int(i) % len(bank)]
+            html = (
+                "<html><body><form id=\"tsf\">"
+                f"<input name=\"q\" value=\"{s} doc {int(i)}\">"
+                "</form></body></html>"
+            )
+            out.append(html.encode(enc))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 320)
+    payloads = d.select("doc_id", _mint_serp(F.col("doc_id")).alias("payload"))
+    decoded = payloads.select(
+        "doc_id",
+        decode_text_udf(sniff=True)(
+            F.col("payload"), F.lit(None).cast("string")
+        ).alias("_d"),
+    ).select(
+        "doc_id",
+        F.col("_d.encoding").alias("encoding"),
+        F.col("_d.text").alias("html"),
+        F.lit(_SNIFF_CASCADE_PID).alias("provider_id"),
+        F.concat(
+            F.lit("https://www.google.com/search?q=doc+"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return parse_warc_queries(decoded).select(
+        "doc_id", "encoding", "warc_query", "wq_rule"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration order. The driver's correctness gate exercises the FIRST 50
 # entries of ``queries()`` in iteration order, so the strongest oracle-backed
