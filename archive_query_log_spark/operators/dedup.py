@@ -657,6 +657,83 @@ def _cc_star(
     )
 
 
+def _hamming_stacked(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bits: int,
+    n_chunks: int,
+    combo_k: int,
+) -> DataFrame:
+    """(id, sim, chunk) rows: one row per combination key. ``combo_k=1``
+    keys on single chunk values (one row per chunk, the classic layout);
+    ``combo_k≥2`` keys on every C(n_chunks, combo_k) combination of chunk
+    values concatenated (Manku et al., WWW'07 §3 table scheme) — wider
+    keys, exponentially smaller buckets, at the cost of a larger explode.
+
+    NULL signatures (e.g. phash_col on corrupt payloads) are dropped up
+    front: concat_ws skips a NULL chunk value, so they would otherwise
+    all share the bare-index chunk keys and self-join quadratically
+    before the (NULL-discarding) hamming predicate ran."""
+    from itertools import combinations
+
+    width = bits // n_chunks
+    mask = (1 << width) - 1
+    sig = sig_df.where(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("sim")
+    )
+
+    def chunk_val(c: int):
+        return F.shiftright("sim", c * width).bitwiseAND(mask)
+
+    keys = [
+        F.concat_ws(
+            "_",
+            F.lit("-".join(str(c) for c in combo)),
+            *[chunk_val(c) for c in combo],
+        )
+        for combo in combinations(range(n_chunks), combo_k)
+    ]
+    return sig.select("id", "sim", F.explode(F.array(*keys)).alias("chunk"))
+
+
+def hamming_candidate_census(
+    sig_df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bits: int = 32,
+    n_chunks: int = 4,
+    combo_k: int = 1,
+    max_chunk_df: int | None = 1000,
+) -> dict:
+    """Candidate-pair census for ``hamming_near_pairs`` WITHOUT running
+    the self-join: one groupBy over the exploded chunk table gives, per
+    bucket, n·(n−1)/2 pending pairs. At 100 TB this is the planning query
+    you run FIRST — a 10M-row uniform 64-bit signature set predicts ~3e9
+    candidates under single 16-bit chunks (avg bucket ≈ n_rows/2^width —
+    density, not skew, so the hot-chunk cap never fires), and the fix is
+    a wider key (``combo_k=2, n_chunks=6`` ⇒ ~21-bit keys), not a cap.
+    Returns {buckets, candidate_pairs, max_bucket, capped_keys}."""
+    stacked = _hamming_stacked(sig_df, id_col, sig_col, bits, n_chunks, combo_k)
+    per = stacked.groupBy("chunk").agg(F.count("*").alias("n"))
+    if max_chunk_df is not None:
+        capped = per.where(F.col("n") > max_chunk_df).count()
+        per = per.where(F.col("n") <= max_chunk_df)
+    else:
+        capped = 0
+    row = per.agg(
+        F.count("*").alias("buckets"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).alias("cands"),
+        F.max("n").alias("max_bucket"),
+    ).collect()[0]
+    return {
+        "buckets": row["buckets"],
+        "candidate_pairs": int(row["cands"] or 0),
+        "max_bucket": row["max_bucket"],
+        "capped_keys": capped,
+    }
+
+
 def hamming_near_pairs(
     sig_df: DataFrame,
     id_col: str = "id",
@@ -666,18 +743,34 @@ def hamming_near_pairs(
     n_chunks: int = 4,
     max_chunk_df: int | None = 1000,
     checkpoint: bool = True,
+    combo_k: int = 1,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY integer bit-signature column (simhash,
     image phash, ...) via the chunk-pigeonhole join: split the signature
     into ``n_chunks`` bit ranges — any pair within hamming distance
-    ≤ n_chunks−1 shares at least one identical chunk — so candidate
-    generation is an EQUI-join on (chunk index, chunk value), never a
-    cross join, then exact hamming (bit_count of xor) verifies. The
-    classic simhash-at-scale layout (Manku et al.'s table scheme as one
-    exploded equi-join). Requires max_hamming < n_chunks (pigeonhole
-    guarantee); chunks shared by more than ``max_chunk_df`` rows are
-    dropped (explicit recall cut, same rationale as the shingle/band
-    caps).
+    ≤ n_chunks−combo_k has at least one combination of ``combo_k`` chunks
+    entirely clean — so candidate generation is an EQUI-join on the
+    combination key (never a cross join), then exact hamming (bit_count
+    of xor) verifies. ``combo_k=1`` is the classic one-chunk table;
+    ``combo_k≥2`` is Manku et al.'s (WWW'07) multi-chunk scheme: keys get
+    ``combo_k``·(bits/n_chunks) bits wide, so bucket DENSITY (n_rows /
+    key-space — the quadratic driver no cap can fix, since it is the
+    average, not skew) drops exponentially, at the cost of
+    C(n_chunks, combo_k)/n_chunks more exploded rows. Rule of thumb from
+    the 10M-signature soak (BENCH.md round 7): beyond ~1M uniform 64-bit
+    rows, single 16-bit chunks exceed 1e8 candidates — move to
+    (n_chunks=6, combo_k=2).
+
+    Requires max_hamming ≤ n_chunks − combo_k (pigeonhole guarantee);
+    chunk keys shared by more than ``max_chunk_df`` rows are dropped
+    (explicit recall cut, same rationale as the shingle/band caps).
+    ``candidate_budget`` is the loud-failure guard: when set, a census
+    agg over the (capped) chunk table counts the exact candidate pairs
+    the self-join would emit and raises ValueError above the budget —
+    the 100-TB-scale blowup is then caught by one cheap aggregation
+    instead of a multi-hundred-GB shuffle (same philosophy as the CC
+    non-convergence error: never silently attempt the infeasible plan).
 
     Sign-safe for int64 signatures (e.g. two's-complement phash):
     Spark's ``shiftright`` sign-extends, but the chunk mask keeps only
@@ -690,35 +783,35 @@ def hamming_near_pairs(
     sides AND the hot-chunk census — ~6× the UDF work, plan-verified.
     Pass False only when sig_df is already materialized (cached table,
     stored signature column)."""
-    assert max_hamming < n_chunks, "pigeonhole needs max_hamming < n_chunks"
-    width = bits // n_chunks
-    mask = (1 << width) - 1
-    # NULL signatures (e.g. phash_col on corrupt payloads) are dropped up
-    # front: concat_ws skips a NULL chunk value, so they would otherwise
-    # all share the bare-index chunk keys and self-join quadratically
-    # before the (NULL-discarding) hamming predicate ran
-    sig = sig_df.where(F.col(sig_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(sig_col).alias("sim")
+    assert max_hamming <= n_chunks - combo_k, (
+        "pigeonhole needs max_hamming <= n_chunks - combo_k"
     )
-    stacked = sig.select(
-        "id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "_",
-                        F.lit(c),
-                        F.shiftright("sim", c * width).bitwiseAND(mask),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("chunk"),
+    stacked = _hamming_stacked(
+        sig_df, id_col, sig_col, bits, n_chunks, combo_k
     )
     if checkpoint:
         stacked = stacked.localCheckpoint()
     stacked = _drop_hot_keys(stacked, "chunk", max_chunk_df)
+    if candidate_budget is not None:
+        row = (
+            stacked.groupBy("chunk")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.sum(F.expr("n * (n - 1) DIV 2")).alias("cands"),
+                F.max("n").alias("max_bucket"),
+            )
+            .collect()[0]
+        )
+        cands = int(row["cands"] or 0)
+        if cands > candidate_budget:
+            raise ValueError(
+                f"hamming_near_pairs census: {cands} candidate pairs exceed"
+                f" candidate_budget={candidate_budget} (max bucket"
+                f" {row['max_bucket']}, n_chunks={n_chunks},"
+                f" combo_k={combo_k}). Bucket density, not skew — widen the"
+                " key (raise combo_k / n_chunks) rather than tightening"
+                " max_chunk_df."
+            )
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b, on="chunk")

@@ -442,3 +442,44 @@ def test_simhash_near_pairs_pigeonhole(spark):
     assert not any({a, b} & {2} for a, b in got)  # unrelated doc pairs with none
     with _pytest.raises(AssertionError, match="pigeonhole"):
         dedup.simhash_near_pairs(docs, max_hamming=4, n_chunks=4)
+
+
+def test_hamming_combo_key_same_output_and_census(spark):
+    """The Manku multi-chunk key (combo_k=2) emits EXACTLY the same pair
+    set as the single-chunk table (both are recall-exact under pigeonhole,
+    precision-exact via bit_count) while the candidate census — the
+    planning agg a 100 TB run would issue first — shows the wider key's
+    smaller buckets. Budget guard: a census above candidate_budget raises
+    loudly instead of attempting the quadratic shuffle."""
+    import pytest as _pytest
+
+    # 40 sigs in 10 families of 4 (base xxhash-ish constants, ≤2-bit jitter)
+    rows = []
+    for fam in range(10):
+        base = (0x9E3779B97F4A7C15 * (fam + 1)) & ((1 << 64) - 1)
+        for v in range(4):
+            u = base ^ ((1 << (v * 7)) if v else 0)
+            rows.append((fam * 4 + v, u - (1 << 64) if u >= (1 << 63) else u))
+    df = spark.createDataFrame(rows, "id long, sig long")
+
+    kw = dict(bits=64, max_hamming=2, max_chunk_df=None, checkpoint=False)
+    single = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in dedup.hamming_near_pairs(
+                  df, n_chunks=4, combo_k=1, **kw).collect()}
+    combo = {(r["id_a"], r["id_b"], r["hamming"])
+             for r in dedup.hamming_near_pairs(
+                 df, n_chunks=6, combo_k=2, **kw).collect()}
+    assert single == combo and len(single) >= 10 * 6  # all within-family pairs
+
+    c1 = dedup.hamming_candidate_census(
+        df, bits=64, n_chunks=4, combo_k=1, max_chunk_df=None)
+    c2 = dedup.hamming_candidate_census(
+        df, bits=64, n_chunks=6, combo_k=2, max_chunk_df=None)
+    # exact census: families share chunks, so buckets of ~4 rows → 6 pairs
+    assert c1["candidate_pairs"] >= len(single)
+    assert c2["max_bucket"] <= c1["max_bucket"]
+    assert c1["capped_keys"] == 0
+
+    with _pytest.raises(ValueError, match="candidate_budget"):
+        dedup.hamming_near_pairs(
+            df, n_chunks=4, combo_k=1, candidate_budget=3, **kw).collect()

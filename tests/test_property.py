@@ -106,9 +106,12 @@ def _to_i64(u: int) -> int:
 @st.composite
 def _hamming_case(draw):
     bits, n_chunks = draw(
-        st.sampled_from([(64, 4), (64, 2), (64, 8), (32, 4), (16, 4)])
+        st.sampled_from([(64, 4), (64, 2), (64, 8), (32, 4), (16, 4), (64, 6)])
     )
-    max_hamming = draw(st.integers(0, n_chunks - 1))
+    # combo_k=1 is the classic single-chunk table; k≥2 the Manku
+    # multi-chunk scheme — same exact output set, verified here
+    combo_k = draw(st.integers(1, min(3, n_chunks - 1)))
+    max_hamming = draw(st.integers(0, n_chunks - combo_k))
     bases = draw(
         st.lists(
             st.integers(-(1 << 63), (1 << 63) - 1), min_size=1, max_size=3
@@ -124,7 +127,7 @@ def _hamming_case(draw):
         for _ in range(draw(st.integers(0, 5))):
             u ^= 1 << draw(st.integers(0, 63))
         rows.append((f"d{i:03d}", _to_i64(u)))
-    return bits, n_chunks, max_hamming, rows
+    return bits, n_chunks, combo_k, max_hamming, rows
 
 
 @given(_hamming_case())
@@ -132,7 +135,7 @@ def _hamming_case(draw):
 def test_hamming_near_pairs_vs_bruteforce(spark, case):
     from archive_query_log_spark.operators.dedup import hamming_near_pairs
 
-    bits, n_chunks, max_hamming, rows = case
+    bits, n_chunks, combo_k, max_hamming, rows = case
     df = spark.createDataFrame(rows, "id string, sig long")
     got = {
         (r["id_a"], r["id_b"], r["hamming"])
@@ -141,6 +144,7 @@ def test_hamming_near_pairs_vs_bruteforce(spark, case):
             bits=bits,
             max_hamming=max_hamming,
             n_chunks=n_chunks,
+            combo_k=combo_k,
             max_chunk_df=None,
             checkpoint=False,
         ).collect()
@@ -153,4 +157,4 @@ def test_hamming_near_pairs_vs_bruteforce(spark, case):
             h = bin((sa ^ sb) & _M64).count("1")
             if h <= max_hamming:
                 exp.add((min(ia, ib), max(ia, ib), h))
-    assert got == exp, (bits, n_chunks, max_hamming)
+    assert got == exp, (bits, n_chunks, combo_k, max_hamming)
