@@ -1259,6 +1259,36 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_simhash_combo",
+    f"""
+WITH sig AS ({_simhash_oracle(32, 7).strip()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash32, b.simhash32)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 6
+""",
+)
+def dedup_simhash_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Manku multi-chunk combination key (combo_k=2 over n_chunks=8 —
+    WWW'07 §3; the layout the 10M-signature soak showed is REQUIRED once
+    bucket density, not skew, drives the single-chunk join quadratic).
+    The oracle is deliberately scheme-independent: brute-force ALL pairs
+    with hamming ≤ 6 in DuckDB — uncapped pigeonhole recall is exact for
+    max_hamming ≤ n_chunks−combo_k, so the equi-join on C(8,2)=28
+    two-chunk keys must reproduce the all-pairs answer bit-for-bit
+    (same pair set as the gated single-chunk `dedup_simhash_pairs`,
+    through entirely different candidate machinery)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sig = dedup.simhash32_md5(d, "text", "doc_id", seed=7).select(
+        F.col("doc_id").alias("id"), F.col("simhash32").alias("sig")
+    )
+    return dedup.hamming_near_pairs(
+        sig, bits=32, max_hamming=6, n_chunks=8, combo_k=2,
+        max_chunk_df=None, checkpoint=False,
+    )
+
+
 @_q("dedup_simhash", _simhash_oracle(32, 7))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document sketches (portable 32-bit variant; the fast 64-bit
