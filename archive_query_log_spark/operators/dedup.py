@@ -100,6 +100,49 @@ def hot_key_report(df: DataFrame, key: str, max_df: int) -> DataFrame:
     )
 
 
+def pair_census(stacked: DataFrame, key: str) -> dict:
+    """EXACT count of the candidate pairs a self-equi-join on ``key``
+    would emit (Σ n·(n−1)/2 over buckets) from one aggregation — the
+    planning query to issue BEFORE any banded/pigeonhole join at scale.
+    The quadratic driver is bucket density (avg n per key), which is an
+    average no hot-key cap can cut; the census makes it a number."""
+    row = (
+        stacked.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("buckets"),
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("cands"),
+            F.max("n").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    return {
+        "buckets": row["buckets"],
+        "candidate_pairs": int(row["cands"] or 0),
+        "max_bucket": row["max_bucket"],
+    }
+
+
+def _enforce_candidate_budget(
+    stacked: DataFrame, key: str, budget: int | None, fix_hint: str
+) -> None:
+    """Loud-failure guard shared by every pairwise candidate generator:
+    when ``budget`` is set, census the (already hot-key-capped) keyed
+    frame and refuse the self-join above it — the infeasible plan costs
+    one aggregation instead of a multi-hundred-GB shuffle (same contract
+    as the connected-components non-convergence error)."""
+    if budget is None:
+        return
+    c = pair_census(stacked, key)
+    if c["candidate_pairs"] > budget:
+        raise ValueError(
+            f"{key}-join census: {c['candidate_pairs']} candidate pairs"
+            f" exceed candidate_budget={budget} (max bucket"
+            f" {c['max_bucket']}, {c['buckets']} buckets). Bucket density,"
+            f" not skew — {fix_hint}"
+        )
+
+
 def shingle_frame(
     df: DataFrame,
     text_col: str = "text",
@@ -151,6 +194,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_k: int = 3,
     max_band_df: int | None = 1000,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band.
 
@@ -158,9 +202,16 @@ def minhash_lsh_candidates(
     the scale-safe alternative to pairwise comparison. Bands shared by more
     than ``max_band_df`` documents are dropped from candidate generation
     (explicit recall cut; inspect via hot_key_report(band_frame(df,...),
-    'band', max_band_df))."""
+    'band', max_band_df)). ``candidate_budget``: census the band frame
+    and raise above it (see ``pair_census``) — at scale the fix for band
+    density is LONGER band signatures (num_perm/bands up), not a cap."""
     stacked = band_frame(df, text_col, id_col, num_perm, bands, shingle_k)
     stacked = _drop_hot_keys(stacked, "band", max_band_df)
+    _enforce_candidate_budget(
+        stacked, "band", candidate_budget,
+        "lengthen band signatures (raise num_perm per band) rather than"
+        " tightening max_band_df.",
+    )
     # deliberately LAZY before the self-join: an eager localCheckpoint here
     # measured ~1.5× slower end-to-end at bench scale (materialization
     # barriers beat the ≤2× recompute of a cheap map lineage), and at 100 TB
@@ -184,6 +235,7 @@ def jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -196,6 +248,10 @@ def jaccard_pairs(
     'sh', max_df) — no silent cap."""
     sh = shingle_frame(df, text_col, id_col, shingle_k)
     sh = _drop_hot_keys(sh, "sh", max_df)
+    _enforce_candidate_budget(
+        sh, "sh", candidate_budget,
+        "raise shingle_k (sparser feature space) or lower max_df.",
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -715,23 +771,16 @@ def hamming_candidate_census(
     a wider key (``combo_k=2, n_chunks=6`` ⇒ ~21-bit keys), not a cap.
     Returns {buckets, candidate_pairs, max_bucket, capped_keys}."""
     stacked = _hamming_stacked(sig_df, id_col, sig_col, bits, n_chunks, combo_k)
-    per = stacked.groupBy("chunk").agg(F.count("*").alias("n"))
+    capped = 0
     if max_chunk_df is not None:
-        capped = per.where(F.col("n") > max_chunk_df).count()
-        per = per.where(F.col("n") <= max_chunk_df)
-    else:
-        capped = 0
-    row = per.agg(
-        F.count("*").alias("buckets"),
-        F.sum(F.expr("n * (n - 1) DIV 2")).alias("cands"),
-        F.max("n").alias("max_bucket"),
-    ).collect()[0]
-    return {
-        "buckets": row["buckets"],
-        "candidate_pairs": int(row["cands"] or 0),
-        "max_bucket": row["max_bucket"],
-        "capped_keys": capped,
-    }
+        capped = (
+            hot_key_report(stacked, "chunk", max_chunk_df)
+            .count()
+        )
+        stacked = _drop_hot_keys(stacked, "chunk", max_chunk_df)
+    out = pair_census(stacked, "chunk")
+    out["capped_keys"] = capped
+    return out
 
 
 def hamming_near_pairs(
@@ -792,26 +841,11 @@ def hamming_near_pairs(
     if checkpoint:
         stacked = stacked.localCheckpoint()
     stacked = _drop_hot_keys(stacked, "chunk", max_chunk_df)
-    if candidate_budget is not None:
-        row = (
-            stacked.groupBy("chunk")
-            .agg(F.count("*").alias("n"))
-            .agg(
-                F.sum(F.expr("n * (n - 1) DIV 2")).alias("cands"),
-                F.max("n").alias("max_bucket"),
-            )
-            .collect()[0]
-        )
-        cands = int(row["cands"] or 0)
-        if cands > candidate_budget:
-            raise ValueError(
-                f"hamming_near_pairs census: {cands} candidate pairs exceed"
-                f" candidate_budget={candidate_budget} (max bucket"
-                f" {row['max_bucket']}, n_chunks={n_chunks},"
-                f" combo_k={combo_k}). Bucket density, not skew — widen the"
-                " key (raise combo_k / n_chunks) rather than tightening"
-                " max_chunk_df."
-            )
+    _enforce_candidate_budget(
+        stacked, "chunk", candidate_budget,
+        f"widen the key (raise combo_k/n_chunks from n_chunks={n_chunks},"
+        f" combo_k={combo_k}) rather than tightening max_chunk_df.",
+    )
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b, on="chunk")

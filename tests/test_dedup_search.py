@@ -483,3 +483,33 @@ def test_hamming_combo_key_same_output_and_census(spark):
     with _pytest.raises(ValueError, match="candidate_budget"):
         dedup.hamming_near_pairs(
             df, n_chunks=4, combo_k=1, candidate_budget=3, **kw).collect()
+
+
+def test_candidate_budget_shared_across_generators(spark):
+    """The census/budget contract is uniform: minhash_lsh_candidates and
+    jaccard_pairs refuse an over-budget self-join at census time with the
+    same loud ValueError as the hamming join, and pair_census counts
+    exactly (verified against a hand-computable keyed frame)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text everywhere") for i in range(12)],
+        "doc_id long, text string",
+    )
+    # identical docs → every band shared by all 12 → C(12,2)=66 per band
+    with _pytest.raises(ValueError, match="candidate_budget"):
+        dedup.minhash_lsh_candidates(
+            docs, max_band_df=None, candidate_budget=10)
+    with _pytest.raises(ValueError, match="candidate_budget"):
+        dedup.jaccard_pairs(docs, max_df=None, candidate_budget=10)
+    # under budget → normal results
+    assert dedup.minhash_lsh_candidates(
+        docs, max_band_df=None, candidate_budget=1000).count() == 66
+
+    keyed = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (3, "k1"), (4, "k2"), (5, "k2"), (6, "k3")],
+        "id long, k string",
+    )
+    c = dedup.pair_census(keyed, "k")
+    assert c == {"buckets": 3, "candidate_pairs": 3 + 1 + 0,
+                 "max_bucket": 3}
