@@ -771,16 +771,33 @@ def hamming_candidate_census(
     a wider key (``combo_k=2, n_chunks=6`` ⇒ ~21-bit keys), not a cap.
     Returns {buckets, candidate_pairs, max_bucket, capped_keys}."""
     stacked = _hamming_stacked(sig_df, id_col, sig_col, bits, n_chunks, combo_k)
-    capped = 0
-    if max_chunk_df is not None:
-        capped = (
-            hot_key_report(stacked, "chunk", max_chunk_df)
-            .count()
+    # ONE scan of the exploded frame, one agg tree: bucket sizes, then the
+    # census over kept buckets and the capped-key count together (a
+    # hot_key_report + _drop_hot_keys + pair_census chain would re-explode
+    # the frame ~3x — real money at the 10M-row scale this targets)
+    kept = (
+        F.lit(True) if max_chunk_df is None
+        else F.col("n") <= F.lit(max_chunk_df)
+    )
+    row = (
+        stacked.groupBy("chunk")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count(F.when(kept, 1)).alias("buckets"),
+            F.sum(
+                F.when(kept, F.expr("n * (n - 1) DIV 2"))
+            ).alias("cands"),
+            F.max(F.when(kept, F.col("n"))).alias("max_bucket"),
+            F.count(F.when(~kept, 1)).alias("capped"),
         )
-        stacked = _drop_hot_keys(stacked, "chunk", max_chunk_df)
-    out = pair_census(stacked, "chunk")
-    out["capped_keys"] = capped
-    return out
+        .collect()[0]
+    )
+    return {
+        "buckets": row["buckets"],
+        "candidate_pairs": int(row["cands"] or 0),
+        "max_bucket": row["max_bucket"],
+        "capped_keys": row["capped"],
+    }
 
 
 def hamming_near_pairs(

@@ -110,8 +110,13 @@ class SnapshotTable:
             dirs = self._manifest(parent)["data_dirs"] + dirs
         meta = dict(meta or {})
         if post_write_meta is not None:
+            # snapshot-static stats must describe the WHOLE snapshot; on an
+            # append commit this closure would see only the delta files and
+            # stash e.g. a shard_total_bytes far below reality — a reader
+            # trusting it could broadcast a shard set past the 256 MB
+            # cutover. Read every data dir of the new snapshot instead.
             meta.update(
-                post_write_meta(df.sparkSession.read.parquet(str(file_dir)))
+                post_write_meta(df.sparkSession.read.parquet(*dirs))
             )
         manifest = {
             "version": version,

@@ -77,9 +77,24 @@ def _setup_scratch() -> None:
             scratch = os.path.join(shm, f"spark-graft-bench-{os.getpid()}")
             os.environ["SPARK_GRAFT_LOCAL_DIR"] = scratch
             import atexit
+            import glob
             import shutil
 
             atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            # a SIGKILLed run never reaches its atexit; its pid-suffixed
+            # dir would hold tmpfs (RAM) until reboot — sweep siblings
+            # whose owning pid is gone before starting this run
+            for stale in glob.glob(
+                os.path.join(shm, "spark-graft-bench-*")
+            ):
+                try:
+                    pid = int(stale.rsplit("-", 1)[1])
+                except ValueError:
+                    continue
+                if pid != os.getpid() and not os.path.exists(
+                    f"/proc/{pid}"
+                ):
+                    shutil.rmtree(stale, ignore_errors=True)
     except OSError:
         pass
 
@@ -693,10 +708,13 @@ def build_compact(detail: dict, budget: int = COMPACT_BUDGET) -> str:
             break
         drop(compact)
         line = json.dumps(compact)
-    assert len(line) <= budget, (
-        f"compact bench line is {len(line)} bytes even after all drops "
-        f"(budget {budget}) — the driver tail window would truncate it"
-    )
+    if len(line) > budget:
+        # explicit raise, not assert: python -O would strip an assert and
+        # ship a truncatable line — the exact rounds-4/6 artifact blinding
+        raise RuntimeError(
+            f"compact bench line is {len(line)} bytes even after all drops"
+            f" (budget {budget}) — the driver tail window would truncate it"
+        )
     return line
 
 

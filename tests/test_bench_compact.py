@@ -24,10 +24,15 @@ REPO = Path(__file__).resolve().parent.parent
 
 @pytest.fixture(scope="module")
 def r6_detail():
-    """The committed round-6 full record — the real shape and real value
-    magnitudes (129k urls/s rates, 19-second queries, 5 sections, full
-    scaling trio) that overflowed the window last round."""
-    return json.loads((REPO / "BENCH_LOCAL.json").read_text())
+    """The round-6 full record, FROZEN as a golden (extracted from the
+    round-6 commit) — the real shape and real value magnitudes (129k
+    urls/s rates, 19-second queries, 5 sections, full scaling trio) that
+    overflowed the window that round. Frozen rather than read from the
+    live BENCH_LOCAL.json so a later round committing a smaller record
+    cannot silently weaken this overflow-regression pin."""
+    return json.loads(
+        (REPO / "tests" / "goldens" / "bench_local_r6.json").read_text()
+    )
 
 
 def test_round6_record_fits_budget(r6_detail):
@@ -109,7 +114,7 @@ def test_overflow_asserts_rather_than_ships():
         },
         "scaling": None,
     }
-    with pytest.raises(AssertionError):
+    with pytest.raises(RuntimeError):
         bench.build_compact(detail)
 
 

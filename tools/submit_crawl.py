@@ -18,8 +18,9 @@ import argparse
 import json
 
 # fetch-log columns that define the crawl's observable behavior (what the
-# hash-gated crawl_digest_3round entry pins); fetched_at is excluded only
-# when --nows is absent (wall clock)
+# hash-gated crawl_digest_3round entry pins). fetched_at is ALWAYS
+# excluded from the digest (it is wall-clock when --nows is absent, and
+# this parity gate does not cover its stamping either way)
 DIGEST_COLS = (
     "round", "id", "url_key", "host", "wave", "crawl_delay_s",
     "is_refresh", "fetch_status", "psnr_ok", "caption_ok", "phash_ok",
@@ -92,6 +93,15 @@ def main() -> None:
 
     if args.nows:
         nows = [s.strip() for s in args.nows.split(",")]
+        # nows is indexed by ABSOLUTE round id (so a resume keeps each
+        # round's clock stable) — it must cover every round up to --rounds
+        if len(nows) < args.rounds:
+            raise SystemExit(
+                f"--nows supplies {len(nows)} clocks but --rounds"
+                f" {args.rounds} are indexed absolutely (round id ->"
+                " clock); pass one clock per round, including already-"
+                "completed rounds when resuming"
+            )
         stats = []
         start = pipeline.next_round_id(state)
         for rid in range(start, args.rounds):
