@@ -22,9 +22,6 @@ Scale design — the content-addressed fetch cache:
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -52,27 +49,77 @@ VERDICT_SCHEMA = StructType(
 _PAYLOAD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
 
 
+def _binary_cells(arr) -> list:
+    """Zero-copy memoryview per cell of an Arrow binary array (None for
+    nulls): a binary column is one contiguous data buffer plus offsets, so
+    slicing views beats to_pylist's per-row bytes copy (~1 KB/payload).
+    zlib/struct accept any buffer object downstream."""
+    import numpy as np
+
+    bufs = arr.buffers()
+    if bufs[2] is None:  # all-null column
+        return [None] * len(arr)
+    offs = np.frombuffer(
+        bufs[1], dtype=np.int32, count=len(arr) + arr.offset + 1
+    )[arr.offset :]
+    mv = memoryview(bufs[2])
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        return [
+            mv[offs[i] : offs[i + 1]] if valid[i] else None
+            for i in range(len(arr))
+        ]
+    return [mv[offs[i] : offs[i + 1]] for i in range(len(arr))]
+
+
+def _payload_verdict_columns(batch):
+    """(status, psnr_db, psnr_ok, caption_ok, phash_ok) numpy columns for
+    one Arrow record batch carrying the payload columns — the shared body
+    of both validators. Scalar payload cells leave Arrow via to_pylist
+    (exact for the full-range int64 phash, where a numpy round-trip
+    through float64 would corrupt high bits); the binary payload is
+    sliced as zero-copy memoryviews; all per-pixel math is vectorized in
+    codec.validate_rows."""
+    idx = batch.schema.get_field_index
+    cols = {
+        name: batch.column(idx(name)).to_pylist()
+        for name in _PAYLOAD_COLS
+        if name != "bytes"
+    }
+    bufs = _binary_cells(batch.column(idx("bytes")))
+    return codec.validate_rows(
+        bufs, cols["image_id"], cols["w"], cols["h"],
+        cols["fmt"], cols["caption"], cols["phash"],
+    )
+
+
 def validate_images(images: DataFrame) -> DataFrame:
     """Decode + validate each payload once → (image_id, verdict columns).
 
-    Only the payload columns cross the Arrow boundary; the loop body is
-    columnar (lists once per batch, no per-row pandas indexing)."""
+    One Arrow-batched map pass: only the payload columns cross the
+    boundary, image_id passes through zero-copy, and the pixel math runs
+    vectorized over the whole batch (codec.validate_rows)."""
 
-    def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            cols = tuple(pdf[c].tolist() for c in _PAYLOAD_COLS)
-            rows = []
-            for iid, buf, w, h, fmt, cap, ph in zip(*cols):
-                if buf is None:
-                    rows.append((iid, 404, 0.0, False, False, False))
-                    continue
-                s, p, a, b, c = codec.validate_row(
-                    bytes(buf), iid, int(w), int(h), fmt, cap, int(ph)
-                )
-                rows.append((iid, s, p, a, b, c))
-            yield pd.DataFrame(rows, columns=[f.name for f in VERDICT_SCHEMA.fields])
+    def validate(batches):
+        import pyarrow as pa
 
-    return images.select(*_PAYLOAD_COLS).mapInPandas(validate, VERDICT_SCHEMA)
+        for batch in batches:
+            status, psnr_db, psnr_ok, caption_ok, phash_ok = (
+                _payload_verdict_columns(batch)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("image_id")),
+                    pa.array(status),
+                    pa.array(psnr_db),
+                    pa.array(psnr_ok),
+                    pa.array(caption_ok),
+                    pa.array(phash_ok),
+                ],
+                names=[f.name for f in VERDICT_SCHEMA.fields],
+            )
+
+    return images.select(*_PAYLOAD_COLS).mapInArrow(validate, VERDICT_SCHEMA)
 
 
 def fetch_and_validate(
@@ -114,9 +161,14 @@ def fetch_and_validate(
 
 def _per_fetch_verdicts(scheduled: DataFrame, images: DataFrame) -> DataFrame:
     """Parity path: decode at every fetch row (payload joined inline, one
-    mapInPandas over the joined rows). Same results as the cached path
-    (proven in tests). Narrow `scheduled` to the columns you need before
-    calling — everything it carries crosses the Arrow boundary."""
+    Arrow-batched map over the joined rows). Same results as the cached
+    path (proven in tests). Narrow `scheduled` to the columns you need
+    before calling — everything it carries crosses the Arrow boundary.
+
+    mapInArrow instead of mapInPandas: the scheduled columns pass through
+    as Arrow arrays untouched (zero-copy, no pandas block construction /
+    row-wise copies on either side), and the per-pixel validation math is
+    one vectorized codec.validate_rows call per batch."""
     joined = scheduled.join(
         images.select(*_PAYLOAD_COLS), on="image_id", how="left"
     )
@@ -125,31 +177,32 @@ def _per_fetch_verdicts(scheduled: DataFrame, images: DataFrame) -> DataFrame:
     ]
     out_schema = StructType(in_fields + list(VERDICT_SCHEMA.fields[1:]))
     keep = [f.name for f in in_fields]
+    verdict_names = [f.name for f in VERDICT_SCHEMA.fields[1:]]
 
-    def validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            status = [404] * n
-            psnr_db = [0.0] * n
-            oks = [[False] * n for _ in range(3)]
-            cols = tuple(pdf[c].tolist() for c in _PAYLOAD_COLS)
-            for j, (iid, buf, w, h, fmt, cap, ph) in enumerate(zip(*cols)):
-                if buf is None:
-                    continue
-                s, p, a, b, c = codec.validate_row(
-                    bytes(buf), iid, int(w), int(h), fmt, cap, int(ph)
-                )
-                status[j], psnr_db[j] = s, p
-                oks[0][j], oks[1][j], oks[2][j] = a, b, c
-            out = pdf[keep].copy()
-            out["fetch_status"] = pd.array(status, dtype="int32")
-            out["psnr_db"] = psnr_db
-            out["psnr_ok"] = oks[0]
-            out["caption_ok"] = oks[1]
-            out["phash_ok"] = oks[2]
-            yield out
+    def validate(batches):
+        import pyarrow as pa
 
-    return joined.mapInPandas(validate, out_schema)
+        for batch in batches:
+            status, psnr_db, psnr_ok, caption_ok, phash_ok = (
+                _payload_verdict_columns(batch)
+            )
+            passthrough = [
+                batch.column(batch.schema.get_field_index(name))
+                for name in keep
+            ]
+            yield pa.RecordBatch.from_arrays(
+                passthrough
+                + [
+                    pa.array(status),
+                    pa.array(psnr_db),
+                    pa.array(psnr_ok),
+                    pa.array(caption_ok),
+                    pa.array(phash_ok),
+                ],
+                names=keep + verdict_names,
+            )
+
+    return joined.mapInArrow(validate, out_schema)
 
 
 def validation_summary(fetches: DataFrame) -> DataFrame:

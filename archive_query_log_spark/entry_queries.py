@@ -50,6 +50,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Scale-aware fan-out ahead of an expensive map expression: the test
+    tables are single-row-group parquet files, so their scans are ONE task
+    no matter the split config, and a heavy projection (url_key SURT
+    canonicalization ≈ 13 µs/row) runs single-core. Hash-repartition on a
+    deterministic key to defaultParallelism ONLY when the scan is narrower
+    than the core count — at production scale inputs arrive multi-split and
+    this is a no-op (no extra exchange)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 # ---------------------------------------------------------------------------
 # flagship: the crawl scheduler end-to-end over a frontier minted from events
 # (S1 scan + C17 url_key + W1 scoring + W2 politeness waves)
@@ -90,7 +104,10 @@ FROM ranked WHERE wave < 16
 
 @_q("flagship_crawl_schedule", _FLAGSHIP_ORACLE)
 def flagship_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = _spread(
+        _t(spark, sf_dir, "events").where(F.col("value").isNotNull()),
+        "event_id",
+    )
     host = F.concat(
         F.lit("h"),
         F.lpad(F.pmod(F.col("user_id"), F.lit(40)).cast("string"), 2, "0"),
@@ -377,7 +394,7 @@ def j2_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-safe type set pinned by tests/test_entry.py."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+    l = _spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,6)")
         * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))

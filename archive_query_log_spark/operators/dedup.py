@@ -57,10 +57,23 @@ def minhash_signatures(
     """(id, mh_0..mh_{p-1}): min over shingles of seed-i hash.
 
     explode → groupBy(id) agg min×p: one shuffle, map-side partial mins.
+    Shingles are de-duplicated per document BEFORE the explode: min over a
+    set equals min over the multiset, and the distinct array cuts both the
+    explode volume and the per-shingle 8×md5 work on repetitive documents.
     """
     sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("sh")
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_k))).alias(
+            "sh"
+        ),
     )
+    return _signatures_from_shingles(sh, id_col, num_perm)
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_perm: int
+) -> DataFrame:
+    """(id, mh_0..mh_{p-1}) from an exploded (id, sh) shingle frame."""
     aggs = [
         F.min(_md5_hash64(F.col("sh"), seed)).alias(f"mh_{seed}")
         for seed in range(num_perm)
@@ -169,8 +182,15 @@ def band_frame(
 ) -> DataFrame:
     """(id, band): the stacked LSH-band frame minhash_lsh_candidates
     self-joins — feed to hot_key_report(key='band')."""
-    rows = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    return _bands_of_sig(sig, id_col, num_perm, bands)
+
+
+def _bands_of_sig(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band) stacked band frame from a (id, mh_*) signature frame."""
+    rows = num_perm // bands
     band_cols = [
         F.concat_ws(
             "_", F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
@@ -206,6 +226,14 @@ def minhash_lsh_candidates(
     and raise above it (see ``pair_census``) — at scale the fix for band
     density is LONGER band signatures (num_perm/bands up), not a cap."""
     stacked = band_frame(df, text_col, id_col, num_perm, bands, shingle_k)
+    return _pairs_from_stacked(stacked, max_band_df, candidate_budget)
+
+
+def _pairs_from_stacked(
+    stacked: DataFrame, max_band_df: int | None, candidate_budget: int | None
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs from a stacked (id, band) frame:
+    hot-band cap → budget census → bucket self-equi-join → dedup."""
     stacked = _drop_hot_keys(stacked, "band", max_band_df)
     _enforce_candidate_budget(
         stacked, "band", candidate_budget,
@@ -285,6 +313,7 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard VERIFICATION of given candidate pairs (the stage after
     LSH banding: candidates are cheap and over-complete, so each is checked
@@ -295,8 +324,17 @@ def verify_jaccard_pairs(
     Σ_pairs |shingles(a) ∩ shingles(b)| — bounded by the LSH candidate
     volume, never all-pairs. No feature-space cap here: the pair list is
     already capped upstream (max_band_df), and the verify must judge the
-    full shingle sets or a boilerplate-heavy true dup could be rejected."""
-    sh = shingle_frame(df, text_col, id_col, shingle_k)
+    full shingle sets or a boilerplate-heavy true dup could be rejected.
+
+    ``shingles_df``: an already-built (id, sh) distinct-shingle frame
+    (shingle_frame output, possibly materialized) — the frame is referenced
+    three times here, so callers that also need it elsewhere (the full
+    pipeline) should pass a checkpointed copy instead of re-deriving it."""
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_frame(df, text_col, id_col, shingle_k)
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
@@ -349,20 +387,24 @@ def dedup_pipeline(
     hash-agg plan: nothing here is all-pairs, collect()s are absent, and
     the cluster step is O(log n) rounds, so the composition inherits each
     stage's scale story."""
-    # survivors feed three downstream consumers (LSH, the verify's shingle
-    # frames, the final keep join); A/B-measured lazy vs localCheckpoint at
-    # bench scale, lazy wins (~15 s vs ~22 s end-to-end) — eager
-    # materialization barriers cost more than recomputing the cheap
-    # scan+window lineage. Profile-driven: checkpoint df upstream if the
-    # exact-dedup input scan is the expensive part on a given cluster.
-    survivors = exact_dedup(df, text_col, id_col).drop("fp")
-    pairs = minhash_lsh_candidates(
-        survivors, text_col, id_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k,
-    )
+    # survivors feed four downstream consumers (the shingle frame and the
+    # final keep join) and the shingle frame feeds four more (signatures,
+    # sizes, both verify sides) — materialize each ONCE (localCheckpoint:
+    # eager, partition-local, no lineage). The earlier lazy plan re-ran the
+    # scan→fingerprint→window lineage ~6× and the shingle explode ~4×; the
+    # signature pass reuses the SAME distinct-shingle frame the verify
+    # needs (min over the distinct set equals min over the multiset), so
+    # the explode and its per-shingle md5 work happen exactly once.
+    survivors = exact_dedup(df, text_col, id_col).drop("fp").localCheckpoint()
+    sh = shingle_frame(
+        survivors, text_col, id_col, shingle_k
+    ).localCheckpoint()
+    sig = _signatures_from_shingles(sh, "id", num_perm)
+    stacked = _bands_of_sig(sig, "id", num_perm, bands)
+    pairs = _pairs_from_stacked(stacked, max_band_df=1000, candidate_budget=None)
     verified = verify_jaccard_pairs(
         survivors, pairs, text_col, id_col, shingle_k=shingle_k,
-        threshold=jaccard_threshold,
+        threshold=jaccard_threshold, shingles_df=sh,
     )
     clusters = connected_components(verified)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_dups"))
