@@ -115,7 +115,12 @@ def reference_providers_df(spark: SparkSession) -> DataFrame:
         )
         for p in load_provider_rows()
     ]
-    return spark.createDataFrame(rows, PROVIDERS_DF_SCHEMA)
+    # one slice: a 775-row local dim sliced across defaultParallelism costs
+    # a python-worker round trip per task on EVERY action that rebuilds the
+    # broadcast (measured 0.23 s → 0.13 s per j1 pass at local[32])
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), PROVIDERS_DF_SCHEMA
+    )
 
 
 def reference_rules(table: str, provider_id: str | None = None) -> list[UrlRule]:

@@ -221,16 +221,23 @@ def build_ivf_centroids(
 
     Centroid count is small by design (the index is metadata, rows stay
     distributed); at 100 TB the assign step is one map-only pass per
-    iteration and the update is one groupBy.
+    iteration and the update is one map-only partial-sum pass.
 
-    The Lloyd update is dim-INDEPENDENT in plan width: posexplode(vec) →
-    groupBy(cluster, pos).avg — 2 grouping columns and 1 aggregate at any
-    dim, where the earlier per-dimension unroll (element_at × dim, avg ×
-    dim) was a 768-column aggregate at embedding width. The collect is
-    n_centroids × dim rows — still metadata-sized. Assignment reuses
-    with_ivf_cluster's dim-aware dispatcher (unrolled expr under the term
-    budget, numpy-matmul Arrow UDF beyond), so the builder works at dim 768
+    The Lloyd update is per-partition partial sums via mapInPandas: each
+    task emits at most n_centroids rows of (cluster, Σvec, count) — one
+    numpy masked sum per cluster per batch — and the driver merges the
+    metadata-sized partials in collected partition order (deterministic:
+    collect() preserves partition order, so rebuilds are bit-identical).
+    The earlier posexplode(vec) → groupBy(cluster, pos).avg plan shuffled
+    rows × dim exploded rows per iteration (768 M rows at the 1M×768
+    soak, 167 s for 2 iterations); the partial-sum pass reads each vector
+    once and shuffles nothing. Assignment reuses with_ivf_cluster's
+    dim-aware dispatcher (unrolled expr under the term budget,
+    numpy-matmul Arrow UDF beyond), so the builder works at dim 768
     without a plan blowup on either step."""
+    import numpy as np
+    import pandas as pd
+
     from archive_query_log_spark.functions.ids import md5_rand
 
     seeds = (
@@ -240,23 +247,53 @@ def build_ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    k = len(centroids)
     for _ in range(n_iter):
         assigned = with_ivf_cluster(
             embeddings.select(vec_col), centroids, vec_col=vec_col, out_col="c"
         )
-        means = (
-            assigned.select("c", F.posexplode(vec_col).alias("pos", "val"))
-            .groupBy("c", "pos")
-            .agg(F.avg("val").alias("avg_val"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(int(r["c"]), {})[int(r["pos"])] = float(
-                r["avg_val"]
+
+        def partials(batches):
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                cs = pdf["c"].to_numpy(dtype="float64", na_value=np.nan)
+                vals = pdf[vec_col].tolist()
+                ok = [
+                    i
+                    for i in range(len(vals))
+                    if not np.isnan(cs[i])
+                    and vals[i] is not None
+                    and len(vals[i]) == dim
+                ]
+                if not ok:
+                    continue
+                X = np.asarray([vals[i] for i in ok], dtype=np.float64)
+                cv = cs[np.asarray(ok)].astype(np.int64)
+                for c in np.unique(cv):
+                    mask = cv == c
+                    sums[c] += X[mask].sum(axis=0)
+                    counts[c] += int(mask.sum())
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "c": hit.astype("int32"),
+                    "s": [sums[c].tolist() for c in hit],
+                    "n": counts[hit],
+                }
             )
-        for c, pos_vals in by_cluster.items():
-            centroids[c] = [pos_vals[d] for d in range(dim)]
+
+        rows = assigned.mapInPandas(
+            partials, "c int, s array<double>, n long"
+        ).collect()
+        tot = np.zeros((k, dim), dtype=np.float64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in rows:  # collected partition order — deterministic merge
+            tot[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+            cnt[r["c"]] += r["n"]
+        for c in range(k):
+            if cnt[c] > 0:  # empty clusters keep their previous centroid
+                centroids[c] = [float(x) for x in tot[c] / cnt[c]]
     return centroids
 
 
