@@ -37,13 +37,21 @@ def _md5_hash64(col: Column, seed: int) -> Column:
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id row per normalized-text fingerprint."""
-    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    """Keep the lowest-id row per normalized-text fingerprint.
+
+    min_by hash-agg, not a row_number window: the partial aggregation
+    collapses duplicate fingerprints map-side before the shuffle and the
+    per-partition sort disappears (guide §2.3 "aggregate before you
+    shuffle"). Selection is identical — ids are the orderBy key, and the
+    struct(id) ordering keeps the window's nulls-first ordering for a null
+    id. Output columns and order match the window plan (df columns + fp).
+    """
+    keyed = df.withColumn("fp", fingerprint(F.col(text_col)))
+    row = F.struct(*[F.col(c) for c in df.columns])
     return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        keyed.groupBy("fp")
+        .agg(F.min_by(row, F.struct(F.col(id_col))).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in df.columns], F.col("fp"))
     )
 
 

@@ -37,6 +37,7 @@ from functools import lru_cache
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from archive_query_log_spark.operators.cascade import UrlRule
 
@@ -48,6 +49,30 @@ RULES_DF_SCHEMA = (
     "rule_order int, rule_type string, argument string, provider_id string,"
     " url_pattern string, remove_pattern string, space_pattern string"
 )
+
+
+def local_json_df(
+    spark: SparkSession, records: list[dict], schema_ddl: str
+) -> DataFrame:
+    """Small local table → DataFrame WITHOUT the Python-RDD path.
+
+    ``spark.createDataFrame(rows)`` routes through
+    ``applySchemaToPythonRDD``: every action that re-materializes the frame
+    (each broadcast rebuild, every bench window) launches Python worker
+    tasks just to re-pickle constant rows. Shipping the rows as ONE JSON
+    literal parsed JVM-side (``from_json`` + ``inline``) makes the rebuild
+    a single in-JVM task — measured 0.13 s → 0.06 s per j1 broadcast
+    rebuild at local[32] (guide §4: eliminate the Python boundary; the
+    data is constant, only the boundary was being paid for).
+
+    Supported field types: the JSON-representable subset (strings, ints,
+    doubles, booleans, arrays/structs thereof) — enough for every rule /
+    provider dim here. Null fields round-trip as JSON null.
+    """
+    payload = json.dumps(records)
+    return spark.range(1).select(
+        F.inline(F.from_json(F.lit(payload), f"array<struct<{schema_ddl}>>"))
+    )
 
 
 def match_anchored(pattern: str | None) -> str | None:
@@ -68,19 +93,19 @@ def reference_rules_df(spark: SparkSession, table: str) -> DataFrame:
     """Rule table as a (tiny, broadcastable) DataFrame with url_pattern
     wrapped for find-anywhere engines — feed straight to apply_cascade_join.
     """
-    rows = [
-        (
-            r["rule_order"],
-            r["rule_type"],
-            r["argument"],
-            r["provider_id"],
-            match_anchored(r["url_pattern"]),
-            r["remove_pattern"],
-            r["space_pattern"],
-        )
+    records = [
+        {
+            "rule_order": r["rule_order"],
+            "rule_type": r["rule_type"],
+            "argument": r["argument"],
+            "provider_id": r["provider_id"],
+            "url_pattern": match_anchored(r["url_pattern"]),
+            "remove_pattern": r["remove_pattern"],
+            "space_pattern": r["space_pattern"],
+        }
         for r in load_rule_rows(table)
     ]
-    return spark.createDataFrame(rows, RULES_DF_SCHEMA)
+    return local_json_df(spark, records, RULES_DF_SCHEMA)
 
 
 PROVIDERS_DF_SCHEMA = (
@@ -104,23 +129,22 @@ def reference_providers_df(spark: SparkSession) -> DataFrame:
     """Provider dim as a (tiny, broadcastable) DataFrame shaped for
     crawler/sources_build.py:build_sources (id, priority, domains,
     url_path_prefixes, exclusion_reason)."""
-    rows = [
-        (
-            p["provider_id"],
-            p["name"],
-            p["priority"],
-            p["domains"],
-            p["url_path_prefixes"],
-            p["exclusion_reason"],
-        )
+    records = [
+        {
+            "provider_id": p["provider_id"],
+            "name": p["name"],
+            "priority": p["priority"],
+            "domains": p["domains"],
+            "url_path_prefixes": p["url_path_prefixes"],
+            "exclusion_reason": p["exclusion_reason"],
+        }
         for p in load_provider_rows()
     ]
-    # one slice: a 775-row local dim sliced across defaultParallelism costs
-    # a python-worker round trip per task on EVERY action that rebuilds the
-    # broadcast (measured 0.23 s → 0.13 s per j1 pass at local[32])
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), PROVIDERS_DF_SCHEMA
-    )
+    # JVM-side JSON literal, not parallelize(): every broadcast rebuild of
+    # this dim used to launch a Python worker round trip (one slice was the
+    # round-7 fix: 0.23 s → 0.13 s; the JSON literal removes the Python
+    # boundary entirely: → ~0.06 s per rebuild)
+    return local_json_df(spark, records, PROVIDERS_DF_SCHEMA)
 
 
 def reference_rules(table: str, provider_id: str | None = None) -> list[UrlRule]:

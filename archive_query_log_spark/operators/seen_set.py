@@ -85,12 +85,21 @@ def first_seen_in_batch(
     batch: DataFrame, key_col: str = "url_key", ts_col: str = "ts"
 ) -> DataFrame:
     """A8 min-by dedup: keep the earliest (ts, key) row per canonical key —
-    the reference's collision rule (deterministic ID → first create wins)."""
-    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc("id"))
+    the reference's collision rule (deterministic ID → first create wins).
+
+    min_by hash-agg instead of a row_number window: map-side partial
+    aggregation collapses duplicate keys before the shuffle (the ~5%
+    dup share never crosses the wire twice) and the per-partition sort of
+    the whole batch disappears (guide §2.3). The struct(ts, id) ordering
+    reproduces the window's (ts asc, id asc) order including its
+    nulls-first behavior per field; ids are unique, so the kept row is
+    identical. Output columns and order are unchanged.
+    """
+    row = F.struct(*[F.col(c) for c in batch.columns])
     return (
-        batch.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        batch.groupBy(F.col(key_col).alias("_k"))
+        .agg(F.min_by(row, F.struct(F.col(ts_col), F.col("id"))).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in batch.columns])
     )
 
 
