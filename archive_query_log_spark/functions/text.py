@@ -122,16 +122,85 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return F.size(F.filter(tokenize(text), lambda t: F.array_contains(words, t)))
 
 
+# --- one-pass lang_id ------------------------------------------------------
+#
+# The naive argmax runs 12 array_contains probes (~260 short-string
+# comparisons) on EVERY token. The rewrite computes one per-token language
+# BITMASK: a crc32 bloom prefilter (k=1, 4096 bits packed into 64 longs,
+# built at import from STOPWORDS so it can never drift) rejects most
+# non-stopword tokens with one hash + one indexed bit test; only tokens the
+# filter passes (true stopwords + ~6% false positives) pay the exact
+# 12-list probe, and false positives are corrected by that exact re-check —
+# results are bit-identical to the naive plan (equality-tested). The 12
+# per-language hit counts then come from integer scans of the mask array.
+_LANGS = tuple(sorted(STOPWORDS))
+_BLOOM_BITS = 4096
+
+
+def _build_bloom() -> list[int]:
+    from zlib import crc32
+
+    words = [0] * (_BLOOM_BITS // 64)
+    for ws in STOPWORDS.values():
+        for w in ws:
+            b = crc32(w.encode("utf-8")) % _BLOOM_BITS
+            words[b >> 6] |= 1 << (b & 63)
+    # pack as SIGNED 64-bit so the values round-trip through LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+_BLOOM_WORDS = _build_bloom()
+
+
+def _stopword_mask(tok: Column) -> Column:
+    """Bitmask over _LANGS of the languages claiming ``tok`` as a stopword
+    (exact — the bloom only short-circuits definite misses)."""
+    bloom = F.array(*[F.lit(w).cast("long") for w in _BLOOM_WORDS])
+    bucket = F.crc32(F.encode(tok, "UTF-8")).bitwiseAND(
+        F.lit(_BLOOM_BITS - 1)
+    )
+    word = F.element_at(
+        bloom, (F.shiftright(bucket, 6) + F.lit(1)).cast("int")
+    )
+    maybe = F.bit_get(word, bucket.bitwiseAND(F.lit(63)).cast("int")) == 1
+    exact = None
+    for i, lang in enumerate(_LANGS):
+        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        term = F.when(F.array_contains(words, tok), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        exact = term if exact is None else exact + term
+    return F.when(maybe, exact).otherwise(F.lit(0))
+
+
 def lang_id(text: Column | str) -> Column:
-    """argmax over per-language stopword hit counts; null if no hits at all."""
-    c = _col(text)
-    hits = {lang: stopword_hits(c, lang) for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
-    # when-chain so the FIRST language in sorted order wins ties
-    chain = F.when(best <= 0, F.lit(None).cast("string"))
-    for lang in sorted(STOPWORDS):
-        chain = chain.when(hits[lang] == best, F.lit(lang))
-    return chain
+    """argmax over per-language stopword hit counts; null if no hits at all.
+
+    Same decision rule as the naive 12×array_contains plan (first language
+    in sorted order wins ties; no hits → null) — see the one-pass design
+    note above _LANGS for why the per-token work is a bloom-gated mask."""
+    masks = F.transform(tokenize(_col(text)), _stopword_mask)
+
+    def _has_bit(bit: int):
+        # closure factory, NOT a default arg: F.filter treats a 2-parameter
+        # lambda as the (element, index) form and would bind the index over
+        # the default
+        return lambda m: m.bitwiseAND(F.lit(bit)) != 0
+
+    def _decide(ms: Column) -> Column:
+        hits = [
+            F.size(F.filter(ms, _has_bit(1 << i)))
+            for i in range(len(_LANGS))
+        ]
+        best = F.greatest(*hits)
+        chain = F.when(best <= 0, F.lit(None).cast("string"))
+        for i, lang in enumerate(_LANGS):
+            chain = chain.when(hits[i] == best, F.lit(lang))
+        return chain
+
+    # bind the mask array ONCE via the single-element-array transform (no
+    # CSE across higher-order lambdas — same trick as shingles())
+    return F.get(F.transform(F.array(masks), _decide), 0)
 
 
 def lang_id_udf(model_predict=None):

@@ -179,15 +179,31 @@ def form_decode(value: Column) -> Column:
     url_decode under ANSI would fail the whole task (per-row errors must
     never kill a 10^10-row job).
     """
-    return _try_decode_replace(_escape_invalid_pct(value))
+    # identity fast path: a string with neither '%' nor '+' decodes to
+    # itself, so it skips the escape-sanitize regex + url_decode entirely —
+    # most keys/values of a real frontier are plain ASCII words, and the
+    # per-(row × rule) qsl key compare in the cascades was paying the full
+    # decode for every one of them (a NULL input falls through to the
+    # otherwise branch and stays NULL, as before)
+    plain = ~(value.contains("%") | value.contains("+"))
+    return F.when(plain, value).otherwise(
+        _try_decode_replace(_escape_invalid_pct(value))
+    )
 
 
 def percent_decode(value: Column) -> Column:
     """urllib.parse.unquote parity: %XX only, '+' preserved, invalid escapes
     left as literal '%', non-UTF-8 escape bytes → U+FFFD (same leniency
     rationale as form_decode)."""
-    return _try_decode_replace(
-        F.regexp_replace(_escape_invalid_pct(value), r"\+", "%2B")
+    # identity fast path ('%'-free input is returned verbatim — '+' is
+    # preserved by this decoder, so it needs no guard of its own)
+    return F.when(
+        ~value.contains("%"),
+        value,
+    ).otherwise(
+        _try_decode_replace(
+            F.regexp_replace(_escape_invalid_pct(value), r"\+", "%2B")
+        )
     )
 
 

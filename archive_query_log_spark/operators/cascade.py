@@ -202,41 +202,101 @@ def apply_cascade_array(
         if univ_rows
         else F.array().cast(_RULE_ARRAY_TYPE)
     )
+    # sort each provider's rules ONCE in the pack aggregation (array_sort on
+    # structs orders by the first field, rule_order) — the per-row plan used
+    # to re-sort the concatenated array for every input row
     packed = spec.groupBy(F.col("provider_id").alias("_rp")).agg(
-        F.collect_list(F.struct(*_RULE_FIELDS)).alias("_prules")
+        F.array_sort(F.collect_list(F.struct(*_RULE_FIELDS))).alias("_prules")
     )
-    joined = df.withColumn("_url", url).withColumn("_prov", provider).join(
-        F.broadcast(packed), on=F.col("_prov") == F.col("_rp"), how="left"
+    # Per-row URL components hoisted OUT of the per-rule lambda: the old
+    # plan re-ran lenient_url + try_parse_url(QUERY/REF/PATH) inside every
+    # rule's branch (Catalyst does no CSE across higher-order-function
+    # lambda invocations), so a row visited by k rules parsed its URL up to
+    # k times. One projection per row now carries the sanitized URL, query
+    # string, fragment and path segments; the rules only run the per-rule
+    # match + qsl lookup over those.
+    lenient = U.lenient_url(F.col("_url"))
+    joined = (
+        df.withColumn("_url", url)
+        .withColumn("_prov", provider)
+        .join(
+            F.broadcast(packed), on=F.col("_prov") == F.col("_rp"), how="left"
+        )
+        .withColumn("_lu", lenient)
+        .withColumn("_q", F.try_parse_url(F.col("_lu"), F.lit("QUERY")))
+        .withColumn("_ref", F.try_parse_url(F.col("_lu"), F.lit("REF")))
+        .withColumn(
+            "_psegs",
+            F.split(
+                F.coalesce(
+                    F.try_parse_url(F.col("_lu"), F.lit("PATH")), F.lit("")
+                ),
+                "/",
+            ),
+        )
     )
-    # merge universal rules in, restore GLOBAL cascade order (array_sort on
-    # structs orders by the first field, rule_order)
+    # merge universal rules in, restore GLOBAL cascade order; with no
+    # universal rules (the real url_query/url_page/url_offset tables) the
+    # pre-sorted per-provider array is used as-is — no per-row sort/concat
     empty_arr = F.array().cast(_RULE_ARRAY_TYPE)
-    rules_arr = F.array_sort(
-        F.concat(F.coalesce(F.col("_prules"), empty_arr), univ_arr)
+    if univ_rows:
+        rules_arr = F.array_sort(
+            F.concat(F.coalesce(F.col("_prules"), empty_arr), univ_arr)
+        )
+    else:
+        rules_arr = F.coalesce(F.col("_prules"), empty_arr)
+
+    # First-match via a SHORT-CIRCUITING fold (guide §1.2: fix the per-task
+    # work once the job shape is right): the old filter(transform(rules))
+    # plan evaluated EVERY rule for every row — pattern match, dynamic-regex
+    # compile, qsl parse — and only then took element 0. aggregate() walks
+    # the same rule order, but once the accumulator holds a hit the
+    # when() guard skips the whole evaluation branch, so a row costs
+    # (rules until first hit) instead of (all rules). Identical first-
+    # non-null-by-rule_order semantics (equality-tested vs compile_cascade
+    # and apply_cascade_join on the real tables).
+    vtype = "long" if as_int else "string"
+    zero = F.struct(
+        F.lit(None).cast(vtype).alias("v"), F.lit(None).cast("int").alias("o")
     )
 
-    def _eval(r):
+    def _step(acc, r):
         applicable = r["url_pattern"].isNull() | F.regexp_like(
             F.col("_url"), r["url_pattern"]
         )
-        raw = _extract_dynamic(F.col("_url"), r["rule_type"], r["argument"])
+        qp = U.parse_qsl_first(F.col("_q"), r["argument"])
+        fp = U.parse_qsl_first(F.col("_ref"), r["argument"])
+        seg = U.percent_decode(
+            F.try_element_at(F.col("_psegs"), r["argument"].cast("int") + 1)
+        )
+        raw = (
+            F.when(r["rule_type"] == "query_param", qp)
+            .when(r["rule_type"] == "fragment_param", fp)
+            .when(r["rule_type"] == "path_segment", seg)
+        )
         cleaned = _clean_dynamic(
             raw, r["remove_pattern"], r["space_pattern"], as_int
         )
-        val = F.when(applicable, cleaned)
-        return F.struct(
-            val.cast("long" if as_int else "string").alias("v"),
-            r["rule_order"].alias("o"),
+        val = F.when(applicable, cleaned).cast(vtype)
+        return F.when(acc["v"].isNotNull(), acc).otherwise(
+            F.struct(val.alias("v"), r["rule_order"].alias("o"))
         )
 
-    hits = F.filter(
-        F.transform(rules_arr, _eval), lambda p: p["v"].isNotNull()
-    )
-    first = F.get(hits, 0)
-    out = joined.withColumn(out_col, first["v"])
+    # bind the fold result as a column so the v/o projections reference ONE
+    # evaluation (CollapseProject keeps non-cheap aliased exprs unduplicated)
+    out = joined.withColumn("_cacc", F.aggregate(rules_arr, zero, _step))
+    first = F.col("_cacc")
+    out = out.withColumn(out_col, first["v"])
     if out_rule_col is not None:
-        out = out.withColumn(out_rule_col, first["o"])
-    return out.drop("_url", "_prov", "_rp", "_prules")
+        # o is only meaningful when a rule actually hit (the fold leaves the
+        # last TRIED rule's order behind on a miss)
+        out = out.withColumn(
+            out_rule_col, F.when(first["v"].isNotNull(), first["o"])
+        )
+    return out.drop(
+        "_url", "_prov", "_rp", "_prules", "_lu", "_q", "_ref", "_psegs",
+        "_cacc",
+    )
 
 
 def apply_cascade_join(
