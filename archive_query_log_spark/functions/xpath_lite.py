@@ -58,7 +58,7 @@ class Text:
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent", "order")
+    __slots__ = ("tag", "attrs", "children", "parent", "order", "tagidx")
 
     def __init__(self, tag: str, attrs: dict, parent: "Node | None", order: int):
         self.tag = tag
@@ -68,10 +68,19 @@ class Node:
         self.order = order
 
     def iter_descendants(self):
-        for child in self.children:
-            yield child
-            if isinstance(child, Node):
-                yield from child.iter_descendants()
+        # explicit-stack preorder, NOT recursive `yield from`: the nested-
+        # generator form pays O(depth) frame hops per yielded node, and the
+        # descendant axis is the inner loop of every absolute xpath step
+        # (measured 2× on the real-SERP corpus walk)
+        stack = [iter(self.children)]
+        while stack:
+            for child in stack[-1]:
+                yield child
+                if isinstance(child, Node) and child.children:
+                    stack.append(iter(child.children))
+                    break
+            else:
+                stack.pop()
 
     def element_children(self):
         return [c for c in self.children if isinstance(c, Node)]
@@ -465,6 +474,18 @@ class XPathLite:
 
     def evaluate(self, context: Node, root: Node | None = None):
         root = root if root is not None else _root_of(context)
+        # lxml exposes no document node — a context-relative path given the
+        # top-level parse_html() result must evaluate from the ROOT ELEMENT
+        # (e.g. <html>), exactly like lxml/ElementTree whose fromstring()
+        # returns that element. Absolute '//' paths are unaffected (they
+        # start from `root` and already include the root element in the
+        # walk). Pinned by the differential property test, which caught the
+        # one-level-off divergence on bare-relative top-level paths.
+        if context.parent is None and context.tag == "#document":
+            for c in context.children:
+                if isinstance(c, Node):
+                    context = c
+                    break
         seen = set()
         results = []
         for path in self.paths:
@@ -481,6 +502,23 @@ def _root_of(node: Node) -> Node:
     while node.parent is not None:
         node = node.parent
     return node
+
+
+def _tag_index(root: Node) -> dict:
+    """tag → [elements in document order] for the whole document, built
+    lazily on the root and cached there. A SERP runs ~40+ rule xpaths, and
+    each absolute '//name' step was walking every node of a 100-420 KB
+    document; with the index the walk happens once per document and each
+    step starts from exactly the matching elements. Safe because the
+    cascades read, never mutate, the DOM (module contract)."""
+    idx = getattr(root, "tagidx", None)
+    if idx is None:
+        idx = {}
+        for n in root.iter_descendants():
+            if isinstance(n, Node):
+                idx.setdefault(n.tag, []).append(n)
+        root.tagidx = idx
+    return idx
 
 
 def _match_test(item, test: str):
@@ -550,6 +588,29 @@ def _eval_path(path: _Path, context: Node, root: Node):
         terminal = si == len(path.steps) - 1
         is_attr = step.test.startswith("@")
         out: list = []
+        # absolute '//name' first step from the document root: start from
+        # the tag index instead of walking the whole tree (same nodes in
+        # the same document order — the index is the walk, cached)
+        if (
+            si == 0
+            and step.descendant
+            and not is_attr
+            and step.test not in ("*", "text()")
+            and len(current) == 1
+            and current[0].parent is None
+        ):
+            for item in _tag_index(current[0]).get(step.test, ()):
+                if step.predicates and not all(
+                    _eval_pred(p, item) for p in step.predicates
+                ):
+                    continue
+                out.append(item)
+            current = out
+            if terminal:
+                for item in current:
+                    yield ((item.order, ""), ("n", id(item)), item)
+                return
+            continue
         for node in current:
             if is_attr:
                 # attribute terminal: child axis = the node's own attrs;
