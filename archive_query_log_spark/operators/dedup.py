@@ -39,12 +39,17 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest-id row per normalized-text fingerprint.
 
-    min_by hash-agg, not a row_number window: the partial aggregation
-    collapses duplicate fingerprints map-side before the shuffle and the
-    per-partition sort disappears (guide §2.3 "aggregate before you
-    shuffle"). Selection is identical — ids are the orderBy key, and the
-    struct(id) ordering keeps the window's nulls-first ordering for a null
-    id. Output columns and order match the window plan (df columns + fp).
+    min_by aggregation, not a row_number window (guide §2.3 "aggregate
+    before you shuffle"): the partial aggregation collapses duplicate
+    fingerprints map-side, so only one row per (map task, fp) crosses the
+    exchange. The struct-valued buffer makes this a SortAggregate (structs
+    are not hash-agg buffer types), so a map-side sort replaces the
+    window's reduce-side sort — measured equal on low-dup corpora (0.23 s
+    both ways on sf0.1 documents, interleaved) and strictly better as the
+    dup share grows (the 2M-row crawl batch: 0.92 → 0.78 s). Selection is
+    identical — ids are the orderBy key, and the struct(id) ordering keeps
+    the window's nulls-first ordering for a null id. Output columns and
+    order match the window plan (df columns + fp).
     """
     keyed = df.withColumn("fp", fingerprint(F.col(text_col)))
     row = F.struct(*[F.col(c) for c in df.columns])

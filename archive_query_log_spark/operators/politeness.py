@@ -172,6 +172,7 @@ def schedule(
     t0_col: str = "t0",
     budget_waves: int | None = None,
     salt_partitions: int = 1,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Assign (wave, dispatch_ts) per candidate: the politeness queue.
 
@@ -190,7 +191,22 @@ def schedule(
     ~2.4 s → ~1.1 s on the 2M-URL bench schedule stage). EXACTLY equal to
     the naive per-host window (tests prove it); ``salt_partitions`` is
     kept for API compatibility and ignored.
+
+    ``materialize_input`` (default True): the two-phase rank reads its
+    input TWICE — once for the bucket-counts aggregate, once for the
+    ranking pass — and Spark does NOT share the common lineage between the
+    two branches (column pruning makes the subplans canonically different,
+    so even a shared upstream shuffle re-executes per branch).
+    localCheckpoint() materializes the candidate set once (eager,
+    partition-local, memory+disk), so the counts pass re-reads rows
+    instead of re-running the caller's score → dedup → robots chain:
+    measured 8.9 → 7.2 s best / 11.1 → 8.6 s median on the full 2M-URL
+    crawl job in one interleaved A/B session. Pass False when upstream
+    recompute is cheaper than materializing (e.g. the input is a bare
+    scan or already cached).
     """
+    if materialize_input:
+        candidates = candidates.localCheckpoint()
     out = _skewproof_host_rank(
         candidates, host_col, score_col, key_col, budget=budget_waves
     )

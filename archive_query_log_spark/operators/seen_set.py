@@ -87,13 +87,16 @@ def first_seen_in_batch(
     """A8 min-by dedup: keep the earliest (ts, key) row per canonical key —
     the reference's collision rule (deterministic ID → first create wins).
 
-    min_by hash-agg instead of a row_number window: map-side partial
-    aggregation collapses duplicate keys before the shuffle (the ~5%
-    dup share never crosses the wire twice) and the per-partition sort of
-    the whole batch disappears (guide §2.3). The struct(ts, id) ordering
-    reproduces the window's (ts asc, id asc) order including its
-    nulls-first behavior per field; ids are unique, so the kept row is
-    identical. Output columns and order are unchanged.
+    min_by aggregation instead of a row_number window (guide §2.3): the
+    map-side partial aggregation collapses duplicate keys before the
+    shuffle (the ~5% dup share never crosses the wire twice). The
+    struct-valued buffer compiles to a SortAggregate (structs are not
+    hash-agg buffer types) — a map-side sort replaces the window's
+    reduce-side sort — and the fewer shuffled rows still win: 0.92 →
+    0.78 s on the 2M-row crawl dedup in one interleaved A/B session. The
+    struct(ts, id) ordering reproduces the window's (ts asc, id asc)
+    order including its nulls-first behavior per field; ids are unique,
+    so the kept row is identical. Output columns and order are unchanged.
     """
     row = F.struct(*[F.col(c) for c in batch.columns])
     return (
