@@ -424,6 +424,16 @@ def dedup_pipeline(
     non_reps = clusters.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
+    if last_cc_telemetry().get("cutover"):
+        # the local-cutover label frame is driver-built and bounded by
+        # local_threshold, but its size statistics are unknown to the
+        # planner, which was assembling the final keep-join as THREE
+        # SortMergeJoin exchanges over a few hundred rows — hint the tiny
+        # sides so the assembly is two broadcast joins with zero extra
+        # exchanges. The distributed CC path (labels can be data-sized)
+        # keeps the planner's choice.
+        sizes = F.broadcast(sizes)
+        non_reps = F.broadcast(non_reps)
     kept = survivors.join(non_reps, on=id_col, how="left_anti")
     return kept.join(
         sizes.withColumnRenamed("cluster_id", id_col), on=id_col, how="left"
@@ -634,7 +644,12 @@ def connected_components(
 
 def _cc_local(spark, edge_rows, id_type) -> DataFrame:
     """Driver-side union-find over a collected (metadata-sized) edge list;
-    labels = component-min id, bit-identical to the distributed paths."""
+    labels = component-min id, bit-identical to the distributed paths.
+
+    The label frame is built JVM-side (one JSON literal via from_json +
+    inline) for long/int/string ids: `createDataFrame(rows)` routes the
+    tiny table through applySchemaToPythonRDD, paying a Python worker task
+    every time the downstream joins re-evaluate it."""
     parent: dict = {}
 
     def find(a):
@@ -656,9 +671,25 @@ def _cc_local(spark, edge_rows, id_type) -> DataFrame:
                 # union by MIN id so the final root is the component min
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     labels = [(n, find(n)) for n in parent]
+    ddl_of = {LongType(): "bigint", IntegerType(): "int", StringType(): "string"}
+    ddl = ddl_of.get(id_type)
+    if ddl is not None:
+        from archive_query_log_spark.operators.rule_tables import local_json_df
+
+        return local_json_df(
+            spark,
+            [{"node": n, "cluster_id": c} for n, c in labels],
+            f"node {ddl}, cluster_id {ddl}",
+        )
     schema = StructType(
         [StructField("node", id_type), StructField("cluster_id", id_type)]
     )
