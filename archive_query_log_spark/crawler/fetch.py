@@ -83,12 +83,17 @@ def _payload_verdict_columns(batch):
     idx = batch.schema.get_field_index
     cols = {
         name: batch.column(idx(name)).to_pylist()
-        for name in _PAYLOAD_COLS
-        if name != "bytes"
+        for name in ("image_id", "fmt", "caption", "phash")
     }
+    # w/h leave Arrow vectorized (to_numpy floats when the left join made
+    # them nullable — exact for the uint16 dims; rows with a null payload
+    # return before touching them). phash stays to_pylist: a float64
+    # round-trip would corrupt high int64 bits.
+    ws = batch.column(idx("w")).to_numpy(zero_copy_only=False)
+    hs = batch.column(idx("h")).to_numpy(zero_copy_only=False)
     bufs = _binary_cells(batch.column(idx("bytes")))
     return codec.validate_rows(
-        bufs, cols["image_id"], cols["w"], cols["h"],
+        bufs, cols["image_id"], ws, hs,
         cols["fmt"], cols["caption"], cols["phash"],
     )
 
